@@ -1,0 +1,235 @@
+"""Typed configuration for the nerf2mesh-tpu pipeline.
+
+Mirrors the flag surface of the reference CLI (see /root/reference/main.py:12-124),
+including the ``-O`` recommended-settings macro (main.py:129-136) and the ``--sdf``
+derived-flag cascade (main.py:138-153), but as a frozen-ish dataclass instead of a
+mutable argparse namespace.  Values that the reference mutates at runtime
+(``num_rays`` under adaptive ray batching, ``cos_anneal_ratio``, ``max_level``) are
+explicit training-loop state here, not config (SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+@dataclass
+class Config:
+    # paths / mode
+    path: str = ""
+    workspace: str = "workspace"
+    seed: int = 0
+    stage: int = 0
+    ckpt: str = "latest"
+    fp16: bool = False            # on TPU this selects bf16 compute for the networks
+    sdf: bool = False
+    progressive_level: bool = False
+
+    # testing
+    test: bool = False
+    test_no_video: bool = False
+    test_no_mesh: bool = False
+    camera_traj: str = ""
+
+    # dataset
+    data_format: str = "nerf"     # nerf | colmap | dtu
+    train_split: str = "train"    # train | trainval | all
+    preload: bool = False
+    random_image_batch: bool = False
+    downscale: int = 1
+    bound: float = 2.0
+    scale: float = -1.0
+    offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    mesh: str = ""
+    enable_cam_near_far: bool = False
+    enable_cam_center: bool = False
+    min_near: float = 0.05
+    enable_sparse_depth: bool = False
+    enable_dense_depth: bool = False
+
+    # training
+    iters: int = 30000
+    lr: float = 1e-2
+    lr_vert: float = 1e-4
+    pos_gradient_boost: float = 1.0
+    max_steps: int = 1024
+    update_extra_interval: int = 16
+    max_ray_batch: int = 4096
+    grid_size: int = 128
+    mark_untrained: bool = False
+    dt_gamma: float = 1.0 / 256
+    density_thresh: float = 10.0
+    diffuse_step: int = 1000
+    diffuse_only: bool = False
+    background: str = "random"    # white | random
+    enable_offset_nerf_grad: bool = False
+    n_eval: int = 5
+    n_ckpt: int = 50
+
+    # batch sizing
+    num_rays: int = 4096
+    adaptive_num_rays: bool = False
+    num_points: int = 2 ** 18
+
+    # TPU-specific batch layout: max march samples kept per ray per step.
+    # The reference marches a variable number of points per ray (up to max_steps)
+    # into a dynamically allocated buffer (raymarching.cu:332-489); XLA needs
+    # static shapes, so we march into a padded [num_rays, samples_per_ray]
+    # buffer and compact to a fixed `num_points` pool.
+    samples_per_ray: int = 128
+
+    # stage-0 regularizations
+    lambda_density: float = 0.0
+    lambda_entropy: float = 0.0
+    lambda_tv: float = 1e-8
+    lambda_depth: float = 0.1
+    lambda_specular: float = 1e-5
+    lambda_eikonal: float = 0.1
+    lambda_rgb: float = 1.0
+    lambda_mask: float = 0.1
+
+    # stage-1 regularizations
+    wo_smooth: bool = False
+    lambda_lpips: float = 0.0
+    lambda_offsets: float = 0.1
+    lambda_lap: float = 0.001
+    lambda_normal: float = 0.0
+    lambda_edgelen: float = 0.0
+
+    # misc
+    contract: bool = False
+    patch_size: int = 1
+    trainable_density_grid: bool = False
+    color_space: str = "srgb"
+    ind_dim: int = 0
+    ind_num: int = 500
+
+    # mesh (stage 0)
+    mcubes_reso: int = 512
+    env_reso: int = 256
+    decimate_target: float = 3e5
+    mesh_visibility_culling: bool = False
+    visibility_mask_dilation: int = 5
+    clean_min_f: int = 8
+    clean_min_d: int = 5
+
+    # mesh (stage 1)
+    ssaa: int = 2
+    texture_size: int = 4096
+    refine: bool = False
+    refine_steps_ratio: Tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.7)
+    refine_size: float = 0.01
+    refine_decimate_ratio: float = 0.1
+    refine_remesh_size: float = 0.02
+
+    # GUI analog (offline viewer options)
+    vis_pose: bool = False
+    gui: bool = False
+    W: int = 1000
+    H: int = 1000
+    radius: float = 5.0
+    fovy: float = 50.0
+    max_spp: int = 1
+
+    # parallelism (TPU-native; no analog in the reference, which is single-GPU)
+    mesh_shape: Tuple[int, ...] = (-1,)   # device mesh; -1 = all local devices
+    mesh_axes: Tuple[str, ...] = ("data",)
+
+    # ---- derived (filled by finalize) ----
+    refine_steps: Tuple[int, ...] = ()
+    cos_anneal_ratio: float = 0.0          # initial value; trainer owns the schedule
+
+    def finalize(self, O: bool = False) -> "Config":
+        """Apply the reference's derived-flag cascade (main.py:127-181)."""
+        cfg = dataclasses.replace(self)
+        if O:
+            cfg.fp16 = True
+            cfg.preload = True
+            cfg.mark_untrained = True
+            cfg.random_image_batch = True
+            cfg.mesh_visibility_culling = True
+            cfg.adaptive_num_rays = True
+            cfg.refine = True
+        if cfg.sdf:
+            cfg.density_thresh = 0.001
+            if cfg.stage == 0:
+                cfg.progressive_level = True
+            if cfg.bound > 1:
+                cfg.contract = True
+            cfg.enable_offset_nerf_grad = True
+            cfg.refine_decimate_ratio = 0.0
+            cfg.refine_size = 0.0
+        if cfg.contract:
+            cfg.mark_untrained = False
+        if cfg.wo_smooth:
+            cfg.lambda_offsets = 0.0
+            cfg.lambda_lap = 0.0
+            cfg.lambda_normal = 0.0
+        if cfg.enable_sparse_depth:
+            cfg.random_image_batch = False
+        if cfg.patch_size > 1:
+            assert cfg.num_rays % (cfg.patch_size ** 2) == 0, \
+                "patch_size ** 2 should divide num_rays"
+        cfg.refine_steps = tuple(int(round(x * cfg.iters)) for x in cfg.refine_steps_ratio)
+        return cfg
+
+    # --- geometry helpers shared by renderer/meshing (renderer.py:74-88) ---
+    @property
+    def real_bound(self) -> float:
+        return self.bound
+
+    @property
+    def grid_bound(self) -> float:
+        """Bound used for grid/hash queries; contraction maps to [-2, 2]."""
+        return 2.0 if self.contract else self.bound
+
+    @property
+    def cascades(self) -> int:
+        return 1 + int(math.ceil(math.log2(max(self.grid_bound, 1.0)))) if self.grid_bound > 1 else 1
+
+
+_BOOL_FLAGS = {
+    f.name for f in dataclasses.fields(Config)
+    if f.type in ("bool",) and f.name not in ("refine_steps",)
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """argparse surface that is flag-compatible with the reference CLI."""
+    p = argparse.ArgumentParser(description="nerf2mesh-tpu")
+    p.add_argument("path", type=str, nargs="?", default="")
+    p.add_argument("-O", action="store_true", dest="O", help="recommended settings")
+    defaults = Config()
+    for f in dataclasses.fields(Config):
+        if f.name in ("path", "refine_steps", "cos_anneal_ratio"):
+            continue
+        flag = f"--{f.name}"
+        val = getattr(defaults, f.name)
+        if f.name == "refine_steps_ratio":
+            p.add_argument(flag, type=float, action="append", default=None)
+        elif f.name in ("offset", "mesh_shape", "mesh_axes"):
+            typ = str if f.name == "mesh_axes" else (float if f.name == "offset" else int)
+            p.add_argument(flag, type=typ, nargs="*", default=list(val))
+        elif isinstance(val, bool):
+            p.add_argument(flag, action="store_true", default=False)
+        else:
+            p.add_argument(flag, type=type(val), default=val)
+    return p
+
+
+def parse_args(argv: Optional[List[str]] = None) -> Config:
+    ns = build_parser().parse_args(argv)
+    d = vars(ns).copy()
+    O = d.pop("O", False)
+    if d.get("refine_steps_ratio") is None:
+        d["refine_steps_ratio"] = Config.refine_steps_ratio
+    else:
+        d["refine_steps_ratio"] = tuple(d["refine_steps_ratio"])
+    for k in ("offset", "mesh_shape", "mesh_axes"):
+        d[k] = tuple(d[k])
+    cfg = Config(**d)
+    return cfg.finalize(O=O)

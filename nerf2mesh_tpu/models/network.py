@@ -1,0 +1,157 @@
+"""NeRF/NeuS field networks (parity with reference nerf/network.py:57-207).
+
+Architecture (identical to the reference):
+  * density field:  hashgrid(level_dim=1, finest 2048*bound) -> concat(x) ->
+    MLP(3+16 -> 32 -> 1, 2 layers, no bias) -> trunc_exp sigma (or raw SDF)
+  * color field:    hashgrid(level_dim=2) -> concat(x [, ind_code]) ->
+    MLP(-> 64^3 -> 3+specular_dim) -> sigmoid = [diffuse3 | spec-feat]
+  * specular head:  MLP(3 dir + spec_dim -> 32 -> 3) -> sigmoid;
+    full color = clamp(diffuse + specular, 0, 1)
+  * SDF mode: learnable `variance` (NeuS inv-s), finite-difference normals,
+    double-sphere pretraining init.
+
+All functions are pure: params is a pytree dict, spec is static.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.activation import trunc_exp
+from ..ops.hashgrid import HashGridSpec, hashgrid_encode, init_hashgrid
+from .mlp import apply_mlp, init_mlp
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class NetworkSpec:
+    bound: float = 1.0            # grid bound (2 when contracted)
+    sdf: bool = False
+    specular_dim: int = 3
+    ind_dim: int = 0
+    ind_num: int = 500
+    fp16: bool = False            # bf16 compute for MLPs on TPU
+
+    @property
+    def density_grid_spec(self) -> HashGridSpec:
+        return HashGridSpec(
+            num_levels=16, level_dim=1,
+            desired_resolution=int(2048 * self.bound), interpolation="linear",
+        )
+
+    @property
+    def color_grid_spec(self) -> HashGridSpec:
+        return HashGridSpec(
+            num_levels=16, level_dim=2,
+            desired_resolution=int(2048 * self.bound), interpolation="linear",
+        )
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.fp16 else jnp.float32
+
+
+def init_network(key: jax.Array, spec: NetworkSpec) -> Params:
+    ks = jax.random.split(key, 8)
+    dspec, cspec = spec.density_grid_spec, spec.color_grid_spec
+    params: Params = {
+        "sigma_table": init_hashgrid(ks[0], dspec),
+        "color_table": init_hashgrid(ks[1], cspec),
+        "sigma_net": init_mlp(ks[2], 3 + dspec.output_dim, 1, 32, 2, bias=False),
+        "color_net": init_mlp(
+            ks[3], 3 + cspec.output_dim + spec.ind_dim, 3 + spec.specular_dim, 64, 3,
+            bias=False,
+        ),
+        "specular_net": init_mlp(ks[4], spec.specular_dim + 3, 3, 32, 2, bias=False),
+    }
+    if spec.sdf:
+        params["variance"] = jnp.asarray(0.3, jnp.float32)
+    if spec.ind_dim > 0:
+        params["individual_codes"] = (
+            jax.random.normal(ks[5], (spec.ind_num, spec.ind_dim)) * 0.1
+        )
+    return params
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def density(params: Params, x: jax.Array, spec: NetworkSpec,
+            max_level: Optional[jax.Array] = None) -> jax.Array:
+    """sigma (after trunc_exp) or raw SDF value. x: [N, 3] in [-bound, bound]."""
+    x01 = (x + spec.bound) / (2 * spec.bound)
+    h = hashgrid_encode(params["sigma_table"], x01, spec.density_grid_spec, max_level)
+    h = jnp.concatenate([x.astype(jnp.float32), h], axis=-1)
+    h = apply_mlp(params["sigma_net"], h, compute_dtype=spec.compute_dtype)
+    if spec.sdf:
+        return h[..., 0]
+    return trunc_exp(h[..., 0])
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def geo_feat(params: Params, x: jax.Array, spec: NetworkSpec,
+             c: Optional[jax.Array] = None,
+             max_level: Optional[jax.Array] = None) -> jax.Array:
+    """sigmoid(color_net(...)) = [diffuse3 | spec-feat] (network.py:159-168)."""
+    x01 = (x + spec.bound) / (2 * spec.bound)
+    h = hashgrid_encode(params["color_table"], x01, spec.color_grid_spec, max_level)
+    h = jnp.concatenate([x.astype(jnp.float32), h], axis=-1)
+    if c is not None:
+        if c.shape[0] == 1:
+            c = jnp.broadcast_to(c, (x.shape[0], c.shape[-1]))
+        h = jnp.concatenate([h, c], axis=-1)
+    h = apply_mlp(params["color_net"], h, compute_dtype=spec.compute_dtype)
+    return jax.nn.sigmoid(h)
+
+
+@partial(jax.jit, static_argnames=("spec", "shading"))
+def rgb(params: Params, x: jax.Array, d: jax.Array, spec: NetworkSpec,
+        c: Optional[jax.Array] = None, shading: str = "full",
+        max_level: Optional[jax.Array] = None) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """color [N,3], specular [N,3]|None (network.py:171-189).
+    d must be normalized; identity dir encoding (encoder_dir='None')."""
+    gf = geo_feat(params, x, spec, c, max_level)
+    diffuse = gf[..., :3]
+    if shading == "diffuse":
+        return diffuse, None
+    spec_in = jnp.concatenate([d.astype(jnp.float32), gf[..., 3:]], axis=-1)
+    specular = jax.nn.sigmoid(
+        apply_mlp(params["specular_net"], spec_in, compute_dtype=spec.compute_dtype)
+    )
+    if shading == "specular":
+        return specular, specular
+    return jnp.clip(diffuse + specular, 0.0, 1.0), specular
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def finite_diff_normal(params: Params, x: jax.Array, spec: NetworkSpec,
+                       epsilon: float = 1e-4,
+                       max_level: Optional[jax.Array] = None) -> jax.Array:
+    """Central-difference SDF normal (network.py:135-156); 6 density queries."""
+    b = spec.bound
+    offsets = jnp.asarray(
+        [[epsilon, 0, 0], [-epsilon, 0, 0],
+         [0, epsilon, 0], [0, -epsilon, 0],
+         [0, 0, epsilon], [0, 0, -epsilon]], dtype=jnp.float32)
+    xs = jnp.clip(x[None, :, :] + offsets[:, None, :], -b, b)   # [6, N, 3]
+    vals = density(params, xs.reshape(-1, 3), spec, max_level).reshape(6, -1)
+    return jnp.stack(
+        [0.5 * (vals[0] - vals[1]) / epsilon,
+         0.5 * (vals[2] - vals[3]) / epsilon,
+         0.5 * (vals[4] - vals[5]) / epsilon], axis=-1)
+
+
+def sdf_pretrain_loss(params: Params, key: jax.Array, spec: NetworkSpec,
+                      r1: float = 0.5, r2: float = 1.5,
+                      batch_size: int = 8192) -> jax.Array:
+    """Double-sphere SDF pretraining target (network.py:111-131)."""
+    b = spec.bound
+    xyzs = jax.random.uniform(key, (batch_size, 3), minval=-b, maxval=b)
+    d = jnp.linalg.norm(xyzs, axis=-1)
+    gt = jnp.where(d < (r1 + r2) / 2, d - r1, r2 - d)
+    pred = density(params, xyzs, spec)
+    return jnp.mean((pred - gt) ** 2)

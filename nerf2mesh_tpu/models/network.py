@@ -128,15 +128,41 @@ def rgb(params: Params, x: jax.Array, d: jax.Array, spec: NetworkSpec,
 
 
 @partial(jax.jit, static_argnames=("spec",))
+def rgb_train(params: Params, x: jax.Array, d: jax.Array, spec: NetworkSpec,
+              full_flag: jax.Array, c: Optional[jax.Array] = None,
+              max_level: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
+    """Training-time color with a *traced* diffuse/full switch.
+
+    The reference switches shading='diffuse' -> 'full' at diffuse_step
+    (utils.py:670-674); making the switch a traced scalar keeps one compiled
+    train step for the whole run.  `where` selection zeroes specular-path
+    gradients during the diffuse warmup, matching the reference's behavior of
+    not exercising the specular net then.
+    """
+    gf = geo_feat(params, x, spec, c, max_level)
+    diffuse = gf[..., :3]
+    spec_in = jnp.concatenate([d.astype(jnp.float32), gf[..., 3:]], axis=-1)
+    specular = jax.nn.sigmoid(
+        apply_mlp(params["specular_net"], spec_in, compute_dtype=spec.compute_dtype)
+    )
+    full = jnp.clip(diffuse + specular, 0.0, 1.0)
+    color = jnp.where(full_flag, full, diffuse)
+    specular = jnp.where(full_flag, specular, jnp.zeros_like(specular))
+    return color, specular
+
+
+@partial(jax.jit, static_argnames=("spec",))
 def finite_diff_normal(params: Params, x: jax.Array, spec: NetworkSpec,
-                       epsilon: float = 1e-4,
+                       epsilon=1e-4,
                        max_level: Optional[jax.Array] = None) -> jax.Array:
-    """Central-difference SDF normal (network.py:135-156); 6 density queries."""
+    """Central-difference SDF normal (network.py:135-156); 6 density queries.
+    epsilon may be a traced scalar (the reference anneals it, utils.py:652)."""
     b = spec.bound
-    offsets = jnp.asarray(
-        [[epsilon, 0, 0], [-epsilon, 0, 0],
-         [0, epsilon, 0], [0, -epsilon, 0],
-         [0, 0, epsilon], [0, 0, -epsilon]], dtype=jnp.float32)
+    epsilon = jnp.asarray(epsilon, jnp.float32)
+    signs = jnp.asarray(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        dtype=jnp.float32)
+    offsets = signs * epsilon
     xs = jnp.clip(x[None, :, :] + offsets[:, None, :], -b, b)   # [6, N, 3]
     vals = density(params, xs.reshape(-1, 3), spec, max_level).reshape(6, -1)
     return jnp.stack(

@@ -1,0 +1,285 @@
+"""Stage-0 volumetric renderer: occupancy-grid state + render functions.
+
+Parity targets in the reference:
+  * density grid state + EMA update:   nerf/renderer.py:110-118, 1074-1149
+  * mark_untrained_grid:               nerf/renderer.py:985-1071
+  * stage-0 training render:           nerf/renderer.py:676-813
+  * NeuS sigma->alpha conversion:      nerf/renderer.py:724-739
+
+TPU-native differences:
+  * the density grid is a plain [CAS, H, H, H] float array and the "bitfield"
+    is a uint8 occupancy array of the same layout (no Morton packing);
+  * the per-step render is one pure jitted function: batch sampling, marching,
+    field evaluation and compositing all run on device with static shapes;
+  * grid updates are jitted whole-grid queries (the reference chunks by 128^3
+    to fit CUDA memory; XLA pipelines the same computation).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.composite import composite_rays
+from ..ops.marching import march_rays, near_far_from_aabb
+from .network import NetworkSpec, density, finite_diff_normal, rgb, rgb_train
+from ..data.rays import safe_normalize
+
+
+@dataclass(frozen=True)
+class RenderSpec:
+    """Static geometry/render configuration (derived from Config)."""
+    bound: float = 1.0            # real world bound
+    contract: bool = False
+    grid_size: int = 128
+    min_near: float = 0.05
+    density_thresh: float = 10.0
+    max_steps: int = 1024
+    num_points: int = 2 ** 18
+    dt_gamma: float = 0.0
+    T_thresh: float = 1e-4
+    sdf: bool = False
+
+    @property
+    def grid_bound(self) -> float:
+        return 2.0 if self.contract else self.bound
+
+    @property
+    def cascades(self) -> int:
+        gb = self.grid_bound
+        return 1 + int(math.ceil(math.log2(gb))) if gb > 1 else 1
+
+
+class RenderState(NamedTuple):
+    """Mutable-across-steps occupancy state (a pytree, not params)."""
+    density_grid: jax.Array   # [CAS, H, H, H] f32; -1 marks untrained cells
+    occ_grid: jax.Array       # [CAS, H, H, H] uint8 thresholded occupancy
+    mean_density: jax.Array   # [] f32
+    iter_density: jax.Array   # [] int32
+
+
+def init_render_state(spec: RenderSpec) -> RenderState:
+    H, C = spec.grid_size, spec.cascades
+    return RenderState(
+        density_grid=jnp.zeros((C, H, H, H), jnp.float32),
+        occ_grid=jnp.ones((C, H, H, H), jnp.uint8),   # dense until first update
+        mean_density=jnp.zeros((), jnp.float32),
+        iter_density=jnp.zeros((), jnp.int32),
+    )
+
+
+def grid_cell_centers(spec: RenderSpec) -> jax.Array:
+    """[H^3, 3] cell-center coords in [-1, 1] (renderer.py:1099-1101)."""
+    H = spec.grid_size
+    ax = (2.0 * (jnp.arange(H, dtype=jnp.float32) + 0.0) / (H - 1)) - 1.0
+    gx, gy, gz = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    return jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+
+
+@partial(jax.jit, static_argnames=("spec", "net_spec", "decay"))
+def update_density_grid(
+    params: Dict[str, Any],
+    state: RenderState,
+    key: jax.Array,
+    spec: RenderSpec,
+    net_spec: NetworkSpec,
+    max_level: Optional[jax.Array] = None,
+    decay: float = 0.95,
+) -> RenderState:
+    """Query density at jittered cell centers for every cascade, EMA-max update,
+    re-threshold occupancy (renderer.py:1074-1149)."""
+    H, CAS = spec.grid_size, spec.cascades
+    xyzs01 = grid_cell_centers(spec)                       # [H^3, 3] in [-1,1]
+
+    tmp = []
+    keys = jax.random.split(key, CAS)
+    for cas in range(CAS):
+        bound = min(2 ** cas, spec.grid_bound)
+        half = bound / H
+        pts = xyzs01 * (bound - half)
+        noise = jax.random.uniform(keys[cas], pts.shape, minval=-half, maxval=half)
+        sig = density(params, pts + noise, net_spec, max_level)
+        if spec.sdf:
+            inv_s = jnp.clip(jnp.exp(params["variance"] * 10.0), 1e-6, 1e6)
+            sig = jax.nn.sigmoid(-sig * inv_s) * inv_s
+        tmp.append(sig.reshape(H, H, H))
+    tmp_grid = jnp.stack(tmp, axis=0)                      # [CAS, H, H, H]
+
+    old = state.density_grid
+    valid = (old >= 0) & (tmp_grid >= 0)
+    new_grid = jnp.where(valid, jnp.maximum(old * decay, tmp_grid), old)
+
+    mean_density = jnp.mean(jnp.clip(new_grid, 0.0, None))
+    thresh = jnp.minimum(mean_density, spec.density_thresh)
+    occ = (new_grid > thresh).astype(jnp.uint8)
+    return RenderState(
+        density_grid=new_grid,
+        occ_grid=occ,
+        mean_density=mean_density,
+        iter_density=state.iter_density + 1,
+    )
+
+
+def mark_untrained_grid(
+    state: RenderState,
+    poses: np.ndarray,          # [B, 4, 4] cam2world
+    intrinsics,                 # (fx, fy, cx, cy)
+    spec: RenderSpec,
+    aabb: Optional[np.ndarray] = None,
+    cam_near_far: Optional[np.ndarray] = None,
+) -> RenderState:
+    """Mark grid cells never seen by any training camera (or outside the AABB)
+    with -1 so they stay unoccupied forever (renderer.py:985-1071).
+
+    Host-side (runs once before training); vectorized numpy.
+    """
+    H, CAS = spec.grid_size, spec.cascades
+    fx, fy, cx, cy = intrinsics
+    poses = np.asarray(poses, np.float32)
+    B = poses.shape[0]
+
+    ax = 2.0 * np.arange(H, dtype=np.float32) / (H - 1) - 1.0
+    gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+    world = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)  # [N, 3] in [-1,1]
+
+    if aabb is None:
+        rb = spec.bound
+        aabb = np.array([-rb, -rb, -rb, rb, rb, rb], np.float32)
+
+    grid = np.asarray(state.density_grid).copy()
+    for cas in range(CAS):
+        bound = min(2 ** cas, spec.grid_bound)
+        half = bound / H
+        pts = world * (bound - half)                         # [N, 3]
+
+        in_aabb = np.all(
+            (pts >= aabb[:3] - half) & (pts <= aabb[3:] + half), axis=-1
+        )
+
+        seen = np.zeros(pts.shape[0], bool)
+        S = 64
+        for head in range(0, B, S):
+            P = poses[head:head + S]
+            cam = pts[None, :, :] - P[:, None, :3, 3]
+            cam = np.einsum("bnc,bcr->bnr", cam, P[:, :3, :3])
+            cam[:, :, 2] *= -1  # camera forward is -z (renderer.py:1044)
+            min_near = (
+                spec.min_near if cam_near_far is None
+                else cam_near_far[head:head + S, 0:1]
+            )
+            mask_z = cam[:, :, 2] > min_near
+            mask_x = np.abs(cam[:, :, 0]) < (cx / fx) * cam[:, :, 2] + half * 2
+            mask_y = np.abs(cam[:, :, 1]) < (cy / fy) * cam[:, :, 2] + half * 2
+            seen |= (mask_z & mask_x & mask_y).any(axis=0)
+
+        untrained = (~seen) | (~in_aabb)
+        g = grid[cas].reshape(-1)
+        g[untrained] = -1.0
+        grid[cas] = g.reshape(H, H, H)
+
+    return state._replace(density_grid=jnp.asarray(grid))
+
+
+def neus_alpha_from_sdf(
+    sdf: jax.Array, normal: jax.Array, dirs: jax.Array, dts: jax.Array,
+    inv_s: jax.Array, cos_anneal_ratio: jax.Array,
+) -> jax.Array:
+    """NeuS conversion: SDF + normal -> per-sample alpha (renderer.py:724-739)."""
+    true_cos = jnp.sum(dirs * normal, axis=-1)
+    iter_cos = -(
+        jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal_ratio)
+        + jax.nn.relu(-true_cos) * cos_anneal_ratio
+    )
+    est_prev = sdf - iter_cos * dts * 0.5
+    est_next = sdf + iter_cos * dts * 0.5
+    prev_cdf = jax.nn.sigmoid(est_prev * inv_s)
+    next_cdf = jax.nn.sigmoid(est_next * inv_s)
+    p = prev_cdf - next_cdf
+    c = prev_cdf
+    return jnp.clip((p + 1e-5) / (c + 1e-5), 0.0, 1.0)
+
+
+def render_train(
+    params: Dict[str, Any],
+    occ_grid: jax.Array,
+    rays_o: jax.Array,            # [N, 3]
+    rays_d: jax.Array,            # [N, 3]
+    bg_color: jax.Array,          # [N, 3] or [3]
+    key: jax.Array,
+    spec: RenderSpec,
+    net_spec: NetworkSpec,
+    *,
+    shading: str = "full",
+    full_flag: Optional[jax.Array] = None,   # traced diffuse/full switch
+    perturb: bool = True,
+    ind_code: Optional[jax.Array] = None,
+    cam_near_far: Optional[jax.Array] = None,
+    max_level: Optional[jax.Array] = None,
+    cos_anneal_ratio: Optional[jax.Array] = None,
+    normal_epsilon: float = 1e-4,
+    aabb: Optional[jax.Array] = None,
+) -> Dict[str, jax.Array]:
+    """One training-mode volumetric render (renderer.py:676-748).
+
+    Pure function; caller jits (usually as part of the train step).
+    Returns image [N,3], depth [N], weights_sum [N], weights [P], xyzs [P,3],
+    valid [P], speculars [P,3] (zeros when diffuse), num_points [].
+    """
+    N = rays_o.shape[0]
+    if aabb is None:
+        rb = spec.bound
+        aabb = jnp.asarray([-rb, -rb, -rb, rb, rb, rb])
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, spec.min_near)
+    if cam_near_far is not None:
+        nears = jnp.maximum(nears, cam_near_far[:, 0])
+        fars = jnp.minimum(fars, cam_near_far[:, 1])
+
+    m = march_rays(
+        rays_o, rays_d, occ_grid, nears, fars,
+        num_points=spec.num_points, max_steps=spec.max_steps,
+        grid_size=spec.grid_size, cascades=spec.cascades,
+        bound=spec.bound, contracted=spec.contract, dt_gamma=spec.dt_gamma,
+        perturb=perturb, noise_key=key,
+    )
+
+    dirs = safe_normalize(m.dirs)
+    sigmas = density(params, m.xyzs, net_spec, max_level)
+    if full_flag is not None:
+        rgbs, speculars = rgb_train(params, m.xyzs, dirs, net_spec, full_flag,
+                                    ind_code, max_level)
+    else:
+        rgbs, speculars = rgb(params, m.xyzs, dirs, net_spec, ind_code, shading,
+                              max_level)
+
+    results: Dict[str, jax.Array] = {}
+    if spec.sdf:
+        inv_s = jnp.clip(jnp.exp(params["variance"] * 10.0), 1e-6, 1e6)
+        raw_normal = finite_diff_normal(params, m.xyzs, net_spec, normal_epsilon, max_level)
+        results["normal"] = raw_normal
+        normal = safe_normalize(raw_normal)
+        car = cos_anneal_ratio if cos_anneal_ratio is not None else jnp.asarray(1.0)
+        sigmas = neus_alpha_from_sdf(sigmas, normal, dirs, m.dts, inv_s, car)
+
+    out = composite_rays(
+        sigmas, rgbs, m.ts, m.dts, m.ray_idx, m.valid,
+        num_rays=N, T_thresh=spec.T_thresh, alpha_mode=spec.sdf,
+    )
+
+    image = out["image"] + (1.0 - out["weights_sum"][:, None]) * bg_color
+    results.update(
+        image=image,
+        depth=out["depth"],
+        weights_sum=out["weights_sum"],
+        weights=out["weights"],
+        xyzs=m.xyzs,
+        valid=m.valid,
+        num_points=m.total,
+        speculars=speculars if speculars is not None else jnp.zeros_like(rgbs),
+    )
+    return results

@@ -203,7 +203,8 @@ def hashgrid_encode(
 
 
 @partial(jax.jit, static_argnames=("spec",))
-def hashgrid_tv_loss(table: jax.Array, x01: jax.Array, spec: HashGridSpec) -> jax.Array:
+def hashgrid_tv_loss(table: jax.Array, x01: jax.Array, spec: HashGridSpec,
+                     point_weight: Optional[jax.Array] = None) -> jax.Array:
     """Total-variation loss at sampled locations.
 
     The reference injects, for each sampled point's cell corner and each axis d,
@@ -214,7 +215,11 @@ def hashgrid_tv_loss(table: jax.Array, x01: jax.Array, spec: HashGridSpec) -> ja
     N = x01.shape[0]
     L, C, D = spec.num_levels, spec.level_dim, spec.input_dim
     x01 = x01.astype(jnp.float32)
-    inb = jnp.all((x01 >= 0.0) & (x01 <= 1.0), axis=-1)
+    inb = jnp.all((x01 >= 0.0) & (x01 <= 1.0), axis=-1).astype(jnp.float32)
+    if point_weight is not None:
+        # e.g. 10x weight for out-of-unit-box points (reference
+        # utils.py:813-820 applies lambda_tv*10 to outer points)
+        inb = inb * point_weight
 
     scales = jnp.asarray([spec.level_scale(l) for l in range(L)], dtype=jnp.float32)
     shift = 0.0 if spec.align_corners else 0.5
@@ -228,6 +233,6 @@ def hashgrid_tv_loss(table: jax.Array, x01: jax.Array, spec: HashGridSpec) -> ja
         nb = pos_grid + jnp.asarray(eye[d])[None, None, :]
         nb_idx = _corner_indices(nb[:, :, None, :], spec)[..., 0]
         v1 = jnp.take(table, nb_idx.reshape(-1), axis=0).reshape(N, L, C)
-        diff = (v0 - v1) * inb[:, None, None]
-        loss = loss + jnp.sum(diff * diff)
+        diff = (v0 - v1)
+        loss = loss + jnp.sum(diff * diff * inb[:, None, None])
     return loss / jnp.maximum(N, 1)

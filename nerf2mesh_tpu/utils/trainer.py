@@ -1,0 +1,594 @@
+"""Training runtime (parity target: reference nerf/utils.py Trainer, 467-1473).
+
+TPU-native design points:
+  * ONE jitted train step per ray-batch bucket: batch sampling (random image +
+    pixel indices), ray generation, gt gather, marching, field eval,
+    compositing, all losses, grads, optax update and EMA — all on device with
+    static shapes and donated state.  No host<->device traffic in the hot loop.
+  * bf16 compute replaces fp16 autocast + GradScaler (no scaler needed).
+  * adaptive_num_rays quantizes to power-of-two buckets so the step stays
+    compiled (the reference mutates opt.num_rays every step, utils.py:796-797;
+    we re-bucket on the density-grid cadence instead).
+  * data parallelism: with a multi-device mesh the ray batch is sharded via
+    shard_map; gradients psum over the "data" axis (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..data.provider import Dataset
+from ..data.rays import get_rays
+from ..models.network import (
+    NetworkSpec, init_network, rgb, sdf_pretrain_loss,
+)
+from ..models.renderer import (
+    RenderSpec, RenderState, init_render_state, mark_untrained_grid,
+    render_train, update_density_grid,
+)
+from ..ops.hashgrid import hashgrid_tv_loss
+from .metrics import Meter, PSNRMeter
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    ema_count: jax.Array
+    render: RenderState
+    step: jax.Array
+    key: jax.Array
+
+
+def lr_schedule(cfg: Config):
+    """Warmup 500 steps then exp decay to 0.1x (reference main.py:239)."""
+    def fn(it):
+        it = jnp.asarray(it, jnp.float32)
+        warm = 0.01 + 0.99 * (it / 500.0)
+        decay = 0.1 ** ((it - 500.0) / max(cfg.iters - 500.0, 1.0))
+        return cfg.lr * jnp.where(it <= 500.0, warm, decay)
+    return fn
+
+
+def make_optimizer(cfg: Config):
+    """Adam(eps=1e-15) with 0.1x lr for individual codes and SDF variance
+    (reference main.py:221, renderer.py:173-174, network.py:206)."""
+    def label_fn(params):
+        return {
+            k: ("slow" if k in ("individual_codes", "variance") else "base")
+            for k in params
+        }
+    sched = lr_schedule(cfg)
+    base = optax.adam(learning_rate=sched, eps=1e-15)
+    slow = optax.adam(learning_rate=lambda it: sched(it) * 0.1, eps=1e-15)
+    return optax.multi_transform({"base": base, "slow": slow}, label_fn)
+
+
+class StepDynamics(NamedTuple):
+    """Per-step traced scalars (the reference mutates these on `opt`)."""
+    full_shading: jax.Array       # bool: past diffuse warmup
+    max_level: jax.Array          # int32: progressive level
+    cos_anneal_ratio: jax.Array   # f32 (sdf)
+    normal_epsilon: jax.Array     # f32 (sdf)
+    lambda_depth_ramp: jax.Array  # f32 in [0,1]
+
+
+class Trainer:
+    def __init__(self, cfg: Config, workspace: Optional[str] = None,
+                 mesh: Optional[Mesh] = None):
+        self.cfg = cfg
+        self.workspace = workspace or cfg.workspace
+        os.makedirs(self.workspace, exist_ok=True)
+        os.makedirs(os.path.join(self.workspace, "checkpoints"), exist_ok=True)
+        os.makedirs(os.path.join(self.workspace, "validation"), exist_ok=True)
+
+        self.mesh = mesh
+        self.n_shards = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+
+        self.net_spec = NetworkSpec(
+            bound=cfg.grid_bound, sdf=cfg.sdf, ind_dim=cfg.ind_dim,
+            ind_num=cfg.ind_num, fp16=cfg.fp16,
+        )
+        self.render_spec = RenderSpec(
+            bound=cfg.bound, contract=cfg.contract, grid_size=cfg.grid_size,
+            min_near=cfg.min_near, density_thresh=cfg.density_thresh,
+            max_steps=cfg.max_steps, num_points=cfg.num_points // self.n_shards,
+            dt_gamma=cfg.dt_gamma, sdf=cfg.sdf,
+        )
+
+        key = jax.random.PRNGKey(cfg.seed)
+        key, pkey = jax.random.split(key)
+        params = init_network(pkey, self.net_spec)
+        self.optimizer = make_optimizer(cfg)
+        self.state = TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            # distinct buffers: params and ema are both donated in the step
+            ema_params=jax.tree_util.tree_map(jnp.copy, params),
+            ema_count=jnp.zeros((), jnp.int32),
+            render=init_render_state(self.render_spec),
+            step=jnp.zeros((), jnp.int32),
+            key=key,
+        )
+        self.num_rays = cfg.num_rays
+        self.metrics: List[Meter] = [PSNRMeter()]
+        self._step_cache: Dict[int, Any] = {}
+        self._aabb = np.array([-cfg.bound] * 3 + [cfg.bound] * 3, np.float32)
+        self.stats: Dict[str, Any] = {"results": [], "best": None}
+        self.log_path = os.path.join(self.workspace, f"log_ngp.txt")
+
+    # ------------------------------------------------------------------ utils
+    def log(self, msg: str):
+        print(msg, flush=True)
+        with open(self.log_path, "a") as f:
+            f.write(msg + "\n")
+
+    def update_aabb(self, aabb: np.ndarray):
+        b = self.cfg.bound
+        self._aabb = np.clip(np.asarray(aabb, np.float32), -b, b)
+        self.log(f"[INFO] update_aabb: {self._aabb.tolist()}")
+
+    # -------------------------------------------------------------- step fns
+    def dynamics(self, step: int) -> StepDynamics:
+        cfg = self.cfg
+        half = max(0.5 * cfg.iters, 1.0)
+        full = (step >= cfg.diffuse_step) and not cfg.diffuse_only
+        if cfg.progressive_level:
+            ml = 4 + int(12 * min(1.0, step / half))
+        else:
+            ml = 16
+        return StepDynamics(
+            full_shading=jnp.asarray(full),
+            max_level=jnp.asarray(ml, jnp.int32),
+            cos_anneal_ratio=jnp.asarray(min(1.0, step / half), jnp.float32),
+            normal_epsilon=jnp.asarray(1e-1 * (1 - min(0.999, step / half)), jnp.float32),
+            lambda_depth_ramp=jnp.asarray(min(1.0, step / 1000.0), jnp.float32),
+        )
+
+    def _loss_and_metrics(self, params, render, key, images_u8, poses,
+                          intrinsics, cam_near_far, dyn: StepDynamics,
+                          num_rays: int):
+        """Pure per-shard loss (images replicated, rays sampled per shard)."""
+        cfg, rspec, nspec = self.cfg, self.render_spec, self.net_spec
+        B, H, W, C = images_u8.shape
+        k_img, k_pix, k_bg, k_march = jax.random.split(key, 4)
+
+        img_idx = jax.random.randint(k_img, (num_rays,), 0, B)
+        if not cfg.random_image_batch:
+            img_idx = jnp.broadcast_to(img_idx[:1], (num_rays,))
+        pix_idx = jax.random.randint(k_pix, (num_rays,), 0, H * W)
+
+        rays = get_rays(jnp.take(poses, img_idx, axis=0),
+                        (intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]),
+                        H, W, pix_idx)
+        rays_o, rays_d = rays["rays_o"], rays["rays_d"]
+
+        gt_raw = images_u8[img_idx, rays["j"], rays["i"]].astype(jnp.float32) / 255.0
+
+        if cfg.background == "white":
+            bg = jnp.ones((num_rays, 3))
+        else:
+            bg = jax.random.uniform(k_bg, (num_rays, 3))
+
+        if C == 4:
+            gt_mask = gt_raw[:, 3:]
+            gt_rgb = gt_raw[:, :3] * gt_mask + bg * (1.0 - gt_mask)
+        else:
+            gt_mask = None
+            gt_rgb = gt_raw
+
+        ind_code = None
+        if cfg.ind_dim > 0:
+            ind_code = jnp.take(params["individual_codes"], img_idx, axis=0)
+
+        cnf = None
+        if cam_near_far is not None:
+            cnf = jnp.take(cam_near_far, img_idx, axis=0)
+
+        out = render_train(
+            params, render.occ_grid, rays_o, rays_d, bg, k_march,
+            rspec, nspec, full_flag=dyn.full_shading, perturb=True,
+            ind_code=ind_code, cam_near_far=cnf, max_level=dyn.max_level,
+            cos_anneal_ratio=dyn.cos_anneal_ratio,
+            normal_epsilon=dyn.normal_epsilon,
+            aabb=jnp.asarray(self._aabb),
+        )
+
+        pred_rgb = out["image"]
+        loss_per_ray = cfg.lambda_rgb * jnp.mean((pred_rgb - gt_rgb) ** 2, axis=-1)
+
+        if gt_mask is not None and cfg.lambda_mask > 0:
+            loss_per_ray = loss_per_ray + cfg.lambda_mask * (
+                (out["weights_sum"] - gt_mask[:, 0]) ** 2
+            )
+        loss = jnp.mean(loss_per_ray)
+
+        if cfg.lambda_entropy > 0:
+            w = jnp.clip(out["weights"], 1e-5, 1 - 1e-5)
+            ent = -(w * jnp.log2(w) + (1 - w) * jnp.log2(1 - w))
+            # padded samples contribute the w->0 limit (~0); mask for exactness
+            ent = jnp.where(out["valid"], ent, 0.0)
+            n_valid = jnp.maximum(jnp.sum(out["valid"]), 1)
+            w2 = jnp.clip(out["weights_sum"], 1e-5, 1 - 1e-5)
+            ent2 = -(w2 * jnp.log2(w2) + (1 - w2) * jnp.log2(1 - w2))
+            loss = loss + cfg.lambda_entropy * (
+                jnp.sum(ent) / n_valid + jnp.mean(ent2)
+            )
+
+        if cfg.lambda_specular > 0:
+            spec_l = jnp.sum(out["speculars"] ** 2, axis=-1)
+            spec_l = jnp.where(out["valid"], spec_l, 0.0)
+            n_valid = jnp.maximum(jnp.sum(out["valid"]), 1)
+            loss = loss + cfg.lambda_specular * jnp.sum(spec_l) / n_valid
+
+        if cfg.sdf and cfg.lambda_eikonal > 0:
+            nrm = jnp.linalg.norm(out["normal"], axis=-1)
+            eik = jnp.where(out["valid"], (nrm - 1.0) ** 2, 0.0)
+            n_valid = jnp.maximum(jnp.sum(out["valid"]), 1)
+            loss = loss + cfg.lambda_eikonal * jnp.sum(eik) / n_valid
+
+        if cfg.lambda_tv > 0:
+            x01 = (out["xyzs"] + nspec.bound) / (2 * nspec.bound)
+            inner = jnp.max(jnp.abs(out["xyzs"]), axis=-1) <= 1.0
+            pw = jnp.where(out["valid"],
+                           jnp.where(inner, 1.0, 10.0), 0.0)
+            tv = hashgrid_tv_loss(params["sigma_table"], x01,
+                                  nspec.density_grid_spec, pw)
+            loss = loss + cfg.lambda_tv * tv
+
+        metrics = {
+            "loss": loss,
+            "psnr": -10.0 * jnp.log10(
+                jnp.maximum(jnp.mean((pred_rgb - gt_rgb) ** 2), 1e-12)),
+            "num_points": out["num_points"],
+        }
+        return loss, metrics
+
+    def _build_step(self, num_rays: int):
+        cfg = self.cfg
+        optimizer = self.optimizer
+        mesh = self.mesh
+
+        def step_fn(state: TrainState, images_u8, poses, intrinsics,
+                    cam_near_far, dyn: StepDynamics):
+            key, skey = jax.random.split(state.key)
+
+            if mesh is not None:
+                from jax.experimental.shard_map import shard_map
+                n = self.n_shards
+                per_shard = num_rays // n
+                has_cnf = cam_near_far is not None
+
+                def shard_loss(params, render, keys, images_u8, poses,
+                               intrinsics, cnf, dyn_):
+                    loss, metrics = self._loss_and_metrics(
+                        params, render, keys[0], images_u8, poses, intrinsics,
+                        cnf if has_cnf else None, dyn_, per_shard)
+                    # reduce over the data axis so outputs are replicated
+                    loss = jax.lax.pmean(loss, "data")
+                    metrics = {
+                        "loss": loss,
+                        "psnr": jax.lax.pmean(metrics["psnr"], "data"),
+                        "num_points": jax.lax.psum(metrics["num_points"], "data"),
+                    }
+                    return loss, metrics
+
+                cnf_arg = cam_near_far if has_cnf else jnp.zeros((1, 2))
+
+                def loss_fn(params):
+                    keys = jax.random.split(skey, n)
+                    f = shard_map(
+                        shard_loss,
+                        mesh=mesh,
+                        in_specs=(P(), P(), P("data"), P(), P(), P(), P(), P()),
+                        out_specs=(P(), P()),
+                        check_rep=False,
+                    )
+                    loss, metrics = f(params, state.render, keys, images_u8,
+                                      poses, intrinsics, cnf_arg, dyn)
+                    return loss, metrics
+            else:
+                def loss_fn(params):
+                    return self._loss_and_metrics(
+                        params, state.render, skey, images_u8, poses,
+                        intrinsics, cam_near_far, dyn, num_rays)
+
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params)
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            params = optax.apply_updates(state.params, updates)
+
+            # EMA with torch_ema-style ramp: d = min(decay, (1+n)/(10+n))
+            n = state.ema_count + 1
+            d = jnp.minimum(0.95, (1.0 + n) / (10.0 + n))
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + p * (1.0 - d), state.ema_params, params)
+
+            new_state = TrainState(
+                params=params, opt_state=opt_state, ema_params=ema,
+                ema_count=n, render=state.render, step=state.step + 1, key=key)
+            return new_state, metrics
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def step_fn_for(self, num_rays: int):
+        if num_rays not in self._step_cache:
+            self._step_cache[num_rays] = self._build_step(num_rays)
+        return self._step_cache[num_rays]
+
+    # -------------------------------------------------------------- train loop
+    def mark_untrained(self, dataset: Dataset):
+        self.state = self.state._replace(render=mark_untrained_grid(
+            self.state.render, dataset.poses, dataset.intrinsics,
+            self.render_spec, aabb=self._aabb,
+            cam_near_far=dataset.cam_near_far))
+
+    def update_grid(self, step: int):
+        key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed ^ 0x5EED), step)
+        dyn = self.dynamics(step)
+        new_render = update_density_grid(
+            self.state.params, self.state.render, key, self.render_spec,
+            self.net_spec, dyn.max_level)
+        self.state = self.state._replace(render=new_render)
+
+    @staticmethod
+    def _bucket(n: int, lo: int = 1024, hi: int = 16384) -> int:
+        n = max(lo, min(hi, n))
+        return 1 << int(round(np.log2(n)))
+
+    def sdf_pretrain(self, iters: int = 2000, batch_size: int = 8192):
+        """Double-sphere SDF init (reference network.py:111-131); runs when
+        --ckpt scratch in sdf mode (utils.py:592-594)."""
+        opt = optax.adam(1e-3)
+        ost = opt.init(self.state.params)
+        params = self.state.params
+
+        @jax.jit
+        def pstep(params, ost, key):
+            l, g = jax.value_and_grad(
+                lambda p: sdf_pretrain_loss(p, key, self.net_spec,
+                                            batch_size=batch_size))(params)
+            up, ost = opt.update(g, ost)
+            return optax.apply_updates(params, up), ost, l
+
+        key = jax.random.PRNGKey(42)
+        for i in range(iters):
+            key, k = jax.random.split(key)
+            params, ost, l = pstep(params, ost, k)
+        self.log(f"[INFO] sdf pretrain done, loss={float(l):.6f}")
+        self.state = self.state._replace(
+            params=params, ema_params=jax.tree_util.tree_map(jnp.copy, params))
+
+    def train(self, dataset: Dataset, valid_dataset: Optional[Dataset] = None,
+              max_steps: Optional[int] = None):
+        cfg = self.cfg
+        steps = max_steps if max_steps is not None else cfg.iters
+        if cfg.mark_untrained:
+            self.mark_untrained(dataset)
+
+        images = jnp.asarray(dataset.images)
+        poses = jnp.asarray(dataset.poses)
+        intrinsics = jnp.asarray(dataset.intrinsics)
+        cam_near_far = (jnp.asarray(dataset.cam_near_far)
+                        if dataset.cam_near_far is not None else None)
+
+        eval_interval = max(1, steps // max(cfg.n_eval, 1))
+        save_interval = max(1, steps // max(cfg.n_ckpt, 1))
+
+        t0 = time.time()
+        last_metrics = None
+        start = int(self.state.step)
+        for step in range(start, steps):
+            if step % cfg.update_extra_interval == 0:
+                self.update_grid(step)
+
+            nr = self._bucket(self.num_rays) if cfg.adaptive_num_rays else cfg.num_rays
+            fn = self.step_fn_for(nr)
+            self.state, last_metrics = fn(
+                self.state, images, poses, intrinsics, cam_near_far,
+                self.dynamics(step))
+
+            if cfg.adaptive_num_rays and (step + 1) % cfg.update_extra_interval == 0:
+                npts = int(last_metrics["num_points"])
+                if npts > 0:
+                    self.num_rays = int(round(cfg.num_points / npts * nr))
+
+            if (step + 1) % max(1, steps // 10) == 0 or step == steps - 1:
+                m = {k: float(v) for k, v in last_metrics.items()}
+                self.log(
+                    f"[step {step+1}/{steps}] loss={m['loss']:.6f} "
+                    f"psnr={m['psnr']:.2f} points={int(m['num_points'])} "
+                    f"rays={nr} {(time.time()-t0):.1f}s")
+
+            if valid_dataset is not None and (step + 1) % eval_interval == 0:
+                self.evaluate(valid_dataset, name=f"step{step+1}")
+
+            if (step + 1) % save_interval == 0 or step == steps - 1:
+                self.save_checkpoint()
+
+        self.log(f"[INFO] training done: {steps} steps, "
+                 f"{time.time()-t0:.1f}s")
+        return last_metrics
+
+    # ------------------------------------------------------------- eval/test
+    def render_image(self, pose: np.ndarray, intrinsics: np.ndarray,
+                     H: int, W: int, use_ema: bool = True,
+                     chunk: int = 4096, shading: str = "full",
+                     bg_color: float = 1.0) -> Dict[str, np.ndarray]:
+        """Full-frame render in fixed-size chunks (eval path).
+
+        The reference uses an alive-ray compaction loop (renderer.py:749-802);
+        here each chunk is rendered with the static-pool march, which covers
+        the same max_steps budget.
+        """
+        params = self.state.ema_params if use_ema else self.state.params
+        rspec, nspec = self.render_spec, self.net_spec
+
+        fx, fy, cx, cy = np.asarray(intrinsics)
+        rays = get_rays(jnp.asarray(pose[None]), (fx, fy, cx, cy), H, W)
+        rays_o = np.asarray(rays["rays_o"])
+        rays_d = np.asarray(rays["rays_d"])
+
+        n = H * W
+        image = np.zeros((n, 3), np.float32)
+        depth = np.zeros(n, np.float32)
+        wsum = np.zeros(n, np.float32)
+
+        eval_spec = RenderSpec(
+            bound=rspec.bound, contract=rspec.contract,
+            grid_size=rspec.grid_size, min_near=rspec.min_near,
+            density_thresh=rspec.density_thresh, max_steps=rspec.max_steps,
+            num_points=chunk * 128, dt_gamma=rspec.dt_gamma, sdf=rspec.sdf)
+
+        if not hasattr(self, "_eval_fn"):
+            def _eval(params, occ, ro, rd, aabb):
+                bg = jnp.ones((chunk, 3)) * bg_color
+                return render_train(
+                    params, occ, ro, rd, bg, jax.random.PRNGKey(0),
+                    eval_spec, nspec, shading=shading, perturb=False,
+                    cos_anneal_ratio=jnp.asarray(1.0), aabb=aabb)
+            self._eval_fn = jax.jit(_eval)
+
+        aabb = jnp.asarray(self._aabb)
+        for head in range(0, n, chunk):
+            tail = min(head + chunk, n)
+            ro = np.zeros((chunk, 3), np.float32)
+            rd = np.ones((chunk, 3), np.float32)
+            ro[: tail - head] = rays_o[head:tail]
+            rd[: tail - head] = rays_d[head:tail]
+            out = self._eval_fn(params, self.state.render.occ_grid,
+                                jnp.asarray(ro), jnp.asarray(rd), aabb)
+            image[head:tail] = np.asarray(out["image"])[: tail - head]
+            depth[head:tail] = np.asarray(out["depth"])[: tail - head]
+            wsum[head:tail] = np.asarray(out["weights_sum"])[: tail - head]
+
+        return {
+            "image": image.reshape(H, W, 3),
+            "depth": depth.reshape(H, W),
+            "weights_sum": wsum.reshape(H, W),
+        }
+
+    def evaluate(self, dataset: Dataset, name: str = "eval",
+                 write_images: bool = False,
+                 max_frames: Optional[int] = None) -> Dict[str, float]:
+        for m in self.metrics:
+            m.clear()
+        B = dataset.num_frames if max_frames is None else min(
+            max_frames, dataset.num_frames)
+        for i in range(B):
+            out = self.render_image(dataset.poses[i], dataset.intrinsics,
+                                    dataset.H, dataset.W)
+            pred = out["image"]
+            if dataset.images is not None:
+                gt = dataset.images[i].astype(np.float32) / 255.0
+                if gt.shape[-1] == 4:
+                    gt = gt[..., :3] * gt[..., 3:] + 1.0 * (1 - gt[..., 3:])
+                for m in self.metrics:
+                    m.update(pred, gt)
+            if write_images:
+                from PIL import Image
+                Image.fromarray((np.clip(pred, 0, 1) * 255).astype(np.uint8)).save(
+                    os.path.join(self.workspace, "validation",
+                                 f"{name}_{i:04d}.png"))
+        results = {m.name: m.measure() for m in self.metrics if m.N > 0}
+        self.log(f"[eval {name}] " + " ".join(
+            f"{k}={v:.4f}" for k, v in results.items()))
+        self.stats["results"].append(results)
+        return results
+
+    def test_video(self, dataset: Dataset, name: str = "test",
+                   fps: int = 24) -> Optional[str]:
+        """Render the test trajectory and write an mp4 (utils.py:997-1006)."""
+        frames = []
+        for i in range(dataset.num_frames):
+            out = self.render_image(dataset.poses[i], dataset.intrinsics,
+                                    dataset.H, dataset.W)
+            frames.append((np.clip(out["image"], 0, 1) * 255).astype(np.uint8))
+        path = os.path.join(self.workspace, f"{name}_rgb.mp4")
+        try:
+            import imageio
+            imageio.mimwrite(path, frames, fps=fps, quality=8,
+                             macro_block_size=1)
+        except Exception as e:  # pragma: no cover - codec availability
+            path = os.path.join(self.workspace, f"{name}_frames.npz")
+            np.savez_compressed(path, frames=np.stack(frames))
+            self.log(f"[WARN] mp4 writer unavailable ({e}); wrote {path}")
+        self.log(f"[INFO] wrote test video: {path}")
+        return path
+
+    def save_mesh(self, resolution: int = 512, decimate_target: float = 3e5,
+                  dataset: Optional[Dataset] = None):
+        """Stage-0 coarse mesh export (renderer.py:471-672)."""
+        from ..meshing.export import export_stage0_mesh
+        out_dir = os.path.join(self.workspace, "mesh_stage0")
+        os.makedirs(out_dir, exist_ok=True)
+        export_stage0_mesh(
+            self, out_dir, resolution=resolution,
+            decimate_target=int(decimate_target), dataset=dataset)
+
+    # ------------------------------------------------------------ checkpoints
+    def _ckpt_path(self, tag: str) -> str:
+        return os.path.join(self.workspace, "checkpoints",
+                            f"ngp_stage{self.cfg.stage}_{tag}.ckpt")
+
+    def save_checkpoint(self, tag: Optional[str] = None):
+        tag = tag or f"{int(self.state.step):07d}"
+        payload = {
+            "state": jax.tree_util.tree_map(np.asarray, self.state),
+            "num_rays": self.num_rays,
+            "stage": self.cfg.stage,
+            "stats": self.stats,
+        }
+        path = self._ckpt_path(tag)
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+        latest = self._ckpt_path("latest")
+        tmp = latest + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f)
+        os.replace(tmp, latest)
+        # rolling window of 2 (utils.py:1373-1379)
+        cdir = os.path.join(self.workspace, "checkpoints")
+        cks = sorted(
+            p for p in os.listdir(cdir)
+            if p.startswith(f"ngp_stage{self.cfg.stage}") and
+            "latest" not in p and p.endswith(".ckpt"))
+        for p in cks[:-2]:
+            os.remove(os.path.join(cdir, p))
+
+    def load_checkpoint(self, path: Optional[str] = None,
+                        stage: Optional[int] = None) -> bool:
+        stage = self.cfg.stage if stage is None else stage
+        if path is None:
+            path = os.path.join(self.workspace, "checkpoints",
+                                f"ngp_stage{stage}_latest.ckpt")
+        if not os.path.exists(path):
+            return False
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        st = payload["state"]
+        to_dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+        if payload.get("stage", 0) != self.cfg.stage:
+            # stage handoff: only model params transfer (utils.py:587-589)
+            self.state = self.state._replace(
+                params=to_dev(st.params), ema_params=to_dev(st.ema_params),
+                render=to_dev(st.render))
+        else:
+            self.state = TrainState(*(to_dev(x) for x in st))
+        self.num_rays = payload.get("num_rays", self.cfg.num_rays)
+        self.log(f"[INFO] loaded checkpoint {path} (step {int(self.state.step)})")
+        return True

@@ -1,0 +1,101 @@
+"""Benchmark: stage-0 training throughput (rays/sec) on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Configuration mirrors the reference's nerf-synthetic defaults
+(scripts/runall_syn.sh: bound 1, dt_gamma 0; main.py: num_rays 4096,
+num_points 2^18, max_steps 1024, grid 128, update grid every 16 steps).
+The scene is the procedurally generated sphere dataset (no datasets ship in
+this environment); throughput is compute-bound and scene-agnostic at fixed
+occupancy, and the density-grid update cadence is included (amortized), so
+the number is comparable to the reference's steady-state training rate.
+
+BASELINE_RAYS_PER_SEC is an estimate of the reference implementation on V100
+(torch-ngp-style hash-grid NeRF, fp16, cuda raymarching): ~30k iters of
+stage 0 in ~20-25 min at an adaptive average ~8-10k rays/step ==> ~2e5
+rays/sec.  The reference repo publishes no number (BASELINE.md); the driver
+north star is >=2x this.
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_RAYS_PER_SEC = 2.0e5
+
+NUM_RAYS = 4096
+WARMUP_STEPS = 48
+BENCH_STEPS = 96
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf2mesh_tpu.config import Config
+    from nerf2mesh_tpu.data.provider import load_nerf_dataset
+    from nerf2mesh_tpu.data.synthetic import generate_synthetic_dataset
+    from nerf2mesh_tpu.utils.trainer import Trainer
+
+    root = "/tmp/bench_scene"
+    if not os.path.exists(os.path.join(root, "transforms_train.json")):
+        generate_synthetic_dataset(root, H=256, W=256, n_train=24, n_val=2,
+                                   n_test=2)
+
+    import dataclasses
+    cfg = dataclasses.replace(
+        Config(path=root),
+        bound=1.0, scale=0.8, dt_gamma=0.0, iters=30000,
+        num_rays=NUM_RAYS, num_points=2 ** 18, max_steps=1024,
+        grid_size=128, diffuse_step=1000, random_image_batch=True,
+        background="random", mark_untrained=True,
+        workspace="/tmp/bench_ws",
+    ).finalize()
+
+    ds = load_nerf_dataset(cfg, "train")
+    trainer = Trainer(cfg)
+    trainer.mark_untrained(ds)
+
+    images = jnp.asarray(ds.images)
+    poses = jnp.asarray(ds.poses)
+    intrinsics = jnp.asarray(ds.intrinsics)
+
+    fn = trainer.step_fn_for(NUM_RAYS)
+    state = trainer.state
+
+    # warmup: compile + let the density grid reach steady-state sparsity
+    for step in range(WARMUP_STEPS):
+        if step % cfg.update_extra_interval == 0:
+            trainer.state = state
+            trainer.update_grid(step)
+            state = trainer.state
+        state, metrics = fn(state, images, poses, intrinsics, None,
+                            trainer.dynamics(step))
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for step in range(WARMUP_STEPS, WARMUP_STEPS + BENCH_STEPS):
+        if step % cfg.update_extra_interval == 0:
+            trainer.state = state
+            trainer.update_grid(step)
+            state = trainer.state
+        state, metrics = fn(state, images, poses, intrinsics, None,
+                            trainer.dynamics(step))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = BENCH_STEPS / dt
+    rays_per_sec = steps_per_sec * NUM_RAYS
+    print(json.dumps({
+        "metric": "stage0_train_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

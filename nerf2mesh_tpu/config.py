@@ -75,12 +75,13 @@ class Config:
     adaptive_num_rays: bool = False
     num_points: int = 2 ** 18
 
-    # TPU-specific batch layout: max march samples kept per ray per step.
-    # The reference marches a variable number of points per ray (up to max_steps)
-    # into a dynamically allocated buffer (raymarching.cu:332-489); XLA needs
-    # static shapes, so we march into a padded [num_rays, samples_per_ray]
-    # buffer and compact to a fixed `num_points` pool.
-    samples_per_ray: int = 128
+    # TPU-specific batch layout: field samples per ray (dense [N, K] layout).
+    # The reference marches a variable number of points per ray (up to
+    # max_steps) through an atomic counter (raymarching.cu:332-489); on TPU we
+    # place a fixed number of samples per ray by occupancy-importance
+    # resampling (ops/sampling.py) — empty space gets no samples, shapes stay
+    # static, and no gather/compaction is needed.
+    samples_per_ray: int = 64
 
     # stage-0 regularizations
     lambda_density: float = 0.0

@@ -37,20 +37,41 @@ class NetworkSpec:
     ind_dim: int = 0
     ind_num: int = 500
     fp16: bool = False            # bf16 compute for MLPs on TPU
+    # One merged hash table serving both fields (channel 0 -> density MLP,
+    # channels 1..2 -> color MLP).  The reference uses two separate encoders
+    # (network.py:66,71); merging halves the gather traffic — the dominant
+    # cost on TPU — while keeping the same functional split downstream.
+    # Set separate_tables=True for reference-architecture parity.
+    separate_tables: bool = False
+    log2_hashmap_size: int = 19
+    num_levels: int = 16
 
     @property
     def density_grid_spec(self) -> HashGridSpec:
         return HashGridSpec(
-            num_levels=16, level_dim=1,
+            num_levels=self.num_levels,
+            level_dim=1 if self.separate_tables else 3,
+            log2_hashmap_size=self.log2_hashmap_size,
             desired_resolution=int(2048 * self.bound), interpolation="linear",
         )
 
     @property
     def color_grid_spec(self) -> HashGridSpec:
+        if not self.separate_tables:
+            return self.density_grid_spec
         return HashGridSpec(
-            num_levels=16, level_dim=2,
+            num_levels=self.num_levels, level_dim=2,
+            log2_hashmap_size=self.log2_hashmap_size,
             desired_resolution=int(2048 * self.bound), interpolation="linear",
         )
+
+    @property
+    def density_feat_dim(self) -> int:
+        return self.num_levels
+
+    @property
+    def color_feat_dim(self) -> int:
+        return self.num_levels * 2
 
     @property
     def compute_dtype(self):
@@ -61,15 +82,19 @@ def init_network(key: jax.Array, spec: NetworkSpec) -> Params:
     ks = jax.random.split(key, 8)
     dspec, cspec = spec.density_grid_spec, spec.color_grid_spec
     params: Params = {
-        "sigma_table": init_hashgrid(ks[0], dspec),
-        "color_table": init_hashgrid(ks[1], cspec),
-        "sigma_net": init_mlp(ks[2], 3 + dspec.output_dim, 1, 32, 2, bias=False),
+        "sigma_net": init_mlp(ks[2], 3 + spec.density_feat_dim, 1, 32, 2,
+                              bias=False),
         "color_net": init_mlp(
-            ks[3], 3 + cspec.output_dim + spec.ind_dim, 3 + spec.specular_dim, 64, 3,
-            bias=False,
+            ks[3], 3 + spec.color_feat_dim + spec.ind_dim,
+            3 + spec.specular_dim, 64, 3, bias=False,
         ),
         "specular_net": init_mlp(ks[4], spec.specular_dim + 3, 3, 32, 2, bias=False),
     }
+    if spec.separate_tables:
+        params["sigma_table"] = init_hashgrid(ks[0], dspec)
+        params["color_table"] = init_hashgrid(ks[1], cspec)
+    else:
+        params["table"] = init_hashgrid(ks[0], dspec)
     if spec.sdf:
         params["variance"] = jnp.asarray(0.3, jnp.float32)
     if spec.ind_dim > 0:
@@ -79,17 +104,48 @@ def init_network(key: jax.Array, spec: NetworkSpec) -> Params:
     return params
 
 
+def encode_fields(params: Params, x01: jax.Array, spec: NetworkSpec,
+                  max_level: Optional[jax.Array] = None):
+    """One pass over the hash table(s) -> (density feats [N,L], color feats
+    [N,2L]).  In merged mode both come from a single C=3 encode — the gather
+    traffic (the TPU bottleneck) is paid once for both fields."""
+    L = spec.num_levels
+    if spec.separate_tables:
+        hd = hashgrid_encode(params["sigma_table"], x01,
+                             spec.density_grid_spec, max_level)
+        hc = hashgrid_encode(params["color_table"], x01,
+                             spec.color_grid_spec, max_level)
+        return hd, hc
+    h = hashgrid_encode(params["table"], x01, spec.density_grid_spec, max_level)
+    h = h.reshape(x01.shape[0], L, 3)
+    return h[:, :, 0], h[:, :, 1:].reshape(x01.shape[0], 2 * L)
+
+
+def _density_from_feat(params, x, hd, spec: NetworkSpec):
+    h = jnp.concatenate([x.astype(jnp.float32), hd], axis=-1)
+    h = apply_mlp(params["sigma_net"], h, compute_dtype=spec.compute_dtype)
+    if spec.sdf:
+        return h[..., 0]
+    return trunc_exp(h[..., 0])
+
+
+def _geo_feat_from_feat(params, x, hc, spec: NetworkSpec, c=None):
+    h = jnp.concatenate([x.astype(jnp.float32), hc], axis=-1)
+    if c is not None:
+        if c.shape[0] == 1:
+            c = jnp.broadcast_to(c, (x.shape[0], c.shape[-1]))
+        h = jnp.concatenate([h, c], axis=-1)
+    h = apply_mlp(params["color_net"], h, compute_dtype=spec.compute_dtype)
+    return jax.nn.sigmoid(h)
+
+
 @partial(jax.jit, static_argnames=("spec",))
 def density(params: Params, x: jax.Array, spec: NetworkSpec,
             max_level: Optional[jax.Array] = None) -> jax.Array:
     """sigma (after trunc_exp) or raw SDF value. x: [N, 3] in [-bound, bound]."""
     x01 = (x + spec.bound) / (2 * spec.bound)
-    h = hashgrid_encode(params["sigma_table"], x01, spec.density_grid_spec, max_level)
-    h = jnp.concatenate([x.astype(jnp.float32), h], axis=-1)
-    h = apply_mlp(params["sigma_net"], h, compute_dtype=spec.compute_dtype)
-    if spec.sdf:
-        return h[..., 0]
-    return trunc_exp(h[..., 0])
+    hd, _ = encode_fields(params, x01, spec, max_level)
+    return _density_from_feat(params, x, hd, spec)
 
 
 @partial(jax.jit, static_argnames=("spec",))
@@ -98,14 +154,33 @@ def geo_feat(params: Params, x: jax.Array, spec: NetworkSpec,
              max_level: Optional[jax.Array] = None) -> jax.Array:
     """sigmoid(color_net(...)) = [diffuse3 | spec-feat] (network.py:159-168)."""
     x01 = (x + spec.bound) / (2 * spec.bound)
-    h = hashgrid_encode(params["color_table"], x01, spec.color_grid_spec, max_level)
-    h = jnp.concatenate([x.astype(jnp.float32), h], axis=-1)
-    if c is not None:
-        if c.shape[0] == 1:
-            c = jnp.broadcast_to(c, (x.shape[0], c.shape[-1]))
-        h = jnp.concatenate([h, c], axis=-1)
-    h = apply_mlp(params["color_net"], h, compute_dtype=spec.compute_dtype)
-    return jax.nn.sigmoid(h)
+    _, hc = encode_fields(params, x01, spec, max_level)
+    return _geo_feat_from_feat(params, x, hc, spec, c)
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def field_forward(params: Params, x: jax.Array, d: jax.Array, spec: NetworkSpec,
+                  full_flag: jax.Array, c: Optional[jax.Array] = None,
+                  max_level: Optional[jax.Array] = None):
+    """Hot-path forward: ONE hash-table pass -> (sigma, color, specular).
+
+    full_flag is the traced diffuse/full shading switch (see rgb_train).
+    Equivalent to the reference's self(xyzs, dirs, ...) (network.py:81-89) but
+    with the two encoder passes fused into one gather sweep.
+    """
+    x01 = (x + spec.bound) / (2 * spec.bound)
+    hd, hc = encode_fields(params, x01, spec, max_level)
+    sigma = _density_from_feat(params, x, hd, spec)
+    gf = _geo_feat_from_feat(params, x, hc, spec, c)
+    diffuse = gf[..., :3]
+    spec_in = jnp.concatenate([d.astype(jnp.float32), gf[..., 3:]], axis=-1)
+    specular = jax.nn.sigmoid(
+        apply_mlp(params["specular_net"], spec_in, compute_dtype=spec.compute_dtype)
+    )
+    full = jnp.clip(diffuse + specular, 0.0, 1.0)
+    color = jnp.where(full_flag, full, diffuse)
+    specular = jnp.where(full_flag, specular, jnp.zeros_like(specular))
+    return sigma, color, specular
 
 
 @partial(jax.jit, static_argnames=("spec", "shading"))

@@ -27,8 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.composite import composite_rays
-from ..ops.marching import march_rays, near_far_from_aabb
-from .network import NetworkSpec, density, finite_diff_normal, rgb, rgb_train
+from ..ops.sampling import near_far_from_aabb, sample_rays
+from .network import (NetworkSpec, density, field_forward, finite_diff_normal,
+                      rgb, rgb_train)
 from ..data.rays import safe_normalize
 
 
@@ -40,8 +41,9 @@ class RenderSpec:
     grid_size: int = 128
     min_near: float = 0.05
     density_thresh: float = 10.0
-    max_steps: int = 1024
-    num_points: int = 2 ** 18
+    max_steps: int = 1024         # sets dt_min = 2*sqrt(3)/max_steps
+    num_coarse: int = 128         # coarse occupancy candidates per ray
+    num_fine: int = 64            # field samples per ray (dense layout)
     dt_gamma: float = 0.0
     T_thresh: float = 1e-4
     sdf: bool = False
@@ -82,7 +84,10 @@ def grid_cell_centers(spec: RenderSpec) -> jax.Array:
     return jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
 
 
-@partial(jax.jit, static_argnames=("spec", "net_spec", "decay"))
+GRID_UPDATE_SLABS = 8
+
+
+@partial(jax.jit, static_argnames=("spec", "net_spec", "decay", "slab"))
 def update_density_grid(
     params: Dict[str, Any],
     state: RenderState,
@@ -91,11 +96,29 @@ def update_density_grid(
     net_spec: NetworkSpec,
     max_level: Optional[jax.Array] = None,
     decay: float = 0.95,
+    slab: int = -1,
 ) -> RenderState:
-    """Query density at jittered cell centers for every cascade, EMA-max update,
-    re-threshold occupancy (renderer.py:1074-1149)."""
+    """Query density at jittered cell centers, EMA-max update, re-threshold
+    occupancy (renderer.py:1074-1149).
+
+    TPU twist: `slab` selects one of GRID_UPDATE_SLABS x-plane slabs to
+    refresh (round-robin across calls); slab=-1 refreshes everything.  The
+    reference re-queries all H^3*CAS cells every 16 steps; partial refresh
+    amortizes that cost 8x with slightly stale occupancy (the same trade
+    instant-NGP's official partial grid updates make).
+    """
     H, CAS = spec.grid_size, spec.cascades
-    xyzs01 = grid_cell_centers(spec)                       # [H^3, 3] in [-1,1]
+    f32 = jnp.float32
+    if slab < 0:
+        x_lo, x_hi = 0, H
+    else:
+        sh = H // GRID_UPDATE_SLABS
+        x_lo, x_hi = slab * sh, (slab + 1) * sh
+    HX = x_hi - x_lo
+
+    ax = lambda lo, hi: 2.0 * jnp.arange(lo, hi, dtype=f32) / (H - 1) - 1.0
+    gx, gy, gz = jnp.meshgrid(ax(x_lo, x_hi), ax(0, H), ax(0, H), indexing="ij")
+    xyzs01 = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)   # [HX*H*H, 3]
 
     tmp = []
     keys = jax.random.split(key, CAS)
@@ -108,12 +131,14 @@ def update_density_grid(
         if spec.sdf:
             inv_s = jnp.clip(jnp.exp(params["variance"] * 10.0), 1e-6, 1e6)
             sig = jax.nn.sigmoid(-sig * inv_s) * inv_s
-        tmp.append(sig.reshape(H, H, H))
-    tmp_grid = jnp.stack(tmp, axis=0)                      # [CAS, H, H, H]
+        tmp.append(sig.reshape(HX, H, H))
+    tmp_slab = jnp.stack(tmp, axis=0)                      # [CAS, HX, H, H]
 
-    old = state.density_grid
-    valid = (old >= 0) & (tmp_grid >= 0)
-    new_grid = jnp.where(valid, jnp.maximum(old * decay, tmp_grid), old)
+    old_slab = jax.lax.dynamic_slice_in_dim(state.density_grid, x_lo, HX, axis=1)
+    valid = (old_slab >= 0) & (tmp_slab >= 0)
+    new_slab = jnp.where(valid, jnp.maximum(old_slab * decay, tmp_slab), old_slab)
+    new_grid = jax.lax.dynamic_update_slice_in_dim(
+        state.density_grid, new_slab, x_lo, axis=1)
 
     mean_density = jnp.mean(jnp.clip(new_grid, 0.0, None))
     thresh = jnp.minimum(mean_density, spec.density_thresh)
@@ -240,35 +265,44 @@ def render_train(
         nears = jnp.maximum(nears, cam_near_far[:, 0])
         fars = jnp.minimum(fars, cam_near_far[:, 1])
 
-    m = march_rays(
+    m = sample_rays(
         rays_o, rays_d, occ_grid, nears, fars,
-        num_points=spec.num_points, max_steps=spec.max_steps,
+        num_coarse=spec.num_coarse, num_fine=spec.num_fine,
         grid_size=spec.grid_size, cascades=spec.cascades,
         bound=spec.bound, contracted=spec.contract, dt_gamma=spec.dt_gamma,
-        perturb=perturb, noise_key=key,
+        max_steps=spec.max_steps, perturb=perturb, noise_key=key,
     )
+    K = spec.num_fine
+    pts = m.xyzs.reshape(N * K, 3)
 
-    dirs = safe_normalize(m.dirs)
-    sigmas = density(params, m.xyzs, net_spec, max_level)
-    if full_flag is not None:
-        rgbs, speculars = rgb_train(params, m.xyzs, dirs, net_spec, full_flag,
-                                    ind_code, max_level)
+    dirs = safe_normalize(rays_d)                            # [N, 3]
+    dirs_flat = jnp.broadcast_to(dirs[:, None, :], (N, K, 3)).reshape(N * K, 3)
+    if ind_code is not None and ind_code.shape[0] == N:
+        ind_flat = jnp.broadcast_to(
+            ind_code[:, None, :], (N, K, ind_code.shape[-1])
+        ).reshape(N * K, -1)
     else:
-        rgbs, speculars = rgb(params, m.xyzs, dirs, net_spec, ind_code, shading,
-                              max_level)
+        ind_flat = ind_code
+
+    if full_flag is None:
+        full_flag = jnp.asarray(shading != "diffuse")
+    sigmas, rgbs, speculars = field_forward(
+        params, pts, dirs_flat, net_spec, full_flag, ind_flat, max_level)
 
     results: Dict[str, jax.Array] = {}
     if spec.sdf:
         inv_s = jnp.clip(jnp.exp(params["variance"] * 10.0), 1e-6, 1e6)
-        raw_normal = finite_diff_normal(params, m.xyzs, net_spec, normal_epsilon, max_level)
+        raw_normal = finite_diff_normal(params, pts, net_spec, normal_epsilon,
+                                        max_level)
         results["normal"] = raw_normal
         normal = safe_normalize(raw_normal)
         car = cos_anneal_ratio if cos_anneal_ratio is not None else jnp.asarray(1.0)
-        sigmas = neus_alpha_from_sdf(sigmas, normal, dirs, m.dts, inv_s, car)
+        sigmas = neus_alpha_from_sdf(sigmas, normal, dirs_flat,
+                                     m.dts.reshape(-1), inv_s, car)
 
     out = composite_rays(
-        sigmas, rgbs, m.ts, m.dts, m.ray_idx, m.valid,
-        num_rays=N, T_thresh=spec.T_thresh, alpha_mode=spec.sdf,
+        sigmas.reshape(N, K), rgbs.reshape(N, K, 3), m.ts, m.dts, m.valid,
+        T_thresh=spec.T_thresh, alpha_mode=spec.sdf,
     )
 
     image = out["image"] + (1.0 - out["weights_sum"][:, None]) * bg_color
@@ -276,10 +310,11 @@ def render_train(
         image=image,
         depth=out["depth"],
         weights_sum=out["weights_sum"],
-        weights=out["weights"],
-        xyzs=m.xyzs,
-        valid=m.valid,
+        weights=out["weights"].reshape(-1),
+        xyzs=pts,
+        valid=m.valid.reshape(-1),
         num_points=m.total,
-        speculars=speculars if speculars is not None else jnp.zeros_like(rgbs),
+        speculars=(speculars if speculars is not None
+                   else jnp.zeros_like(rgbs)).reshape(N * K, 3),
     )
     return results

@@ -162,6 +162,12 @@ def hashgrid_encode(
            (x + bound) / (2 bound), grid.py:156).
     max_level: optional scalar int — levels >= max_level output zeros.
     Returns [N, L*C] features (fp32).
+
+    TPU layout note: all big intermediates are kept as [N, L*8] (minor dim a
+    multiple of 128 when L=16) — shapes ending in a small minor dim (e.g.
+    [N, L, 8, C]) suffer 16-128x tile padding on TPU and OOM at scale.  The
+    corner reduction is a [N, L*8] @ [L*8, L] matmul (MXU) instead of a
+    reshape+sum, for the same reason.
     """
     N = x01.shape[0]
     L, C, D = spec.num_levels, spec.level_dim, spec.input_dim
@@ -180,20 +186,32 @@ def hashgrid_encode(
         frac = frac * frac * (3.0 - 2.0 * frac)
     pos_grid = pos_grid.astype(jnp.uint32)                            # [N, L, D]
 
-    corners = jnp.asarray(_corner_offsets(D))                         # [8, D]
-    corner_grid = pos_grid[:, :, None, :] + corners[None, None, :, :]  # [N, L, 8, D]
-    idx = _corner_indices(corner_grid, spec)                          # [N, L, 8]
+    corners = _corner_offsets(D)                                      # [8, D] np
+    n_cor = corners.shape[0]
 
-    # trilinear weights: prod over dims of (frac or 1-frac) per corner
-    cmask = corners.astype(jnp.float32)                               # [8, D]
+    corner_grid = (pos_grid[:, :, None, :]
+                   + jnp.asarray(corners)[None, None, :, :])          # [N, L, 8, D]
+    idx = _corner_indices(corner_grid, spec).reshape(N, L * n_cor)    # [N, L*8]
+
+    cmask = jnp.asarray(corners.astype(np.float32))                   # [8, D]
     w = jnp.prod(
         cmask[None, None, :, :] * frac[:, :, None, :]
         + (1.0 - cmask[None, None, :, :]) * (1.0 - frac[:, :, None, :]),
         axis=-1,
-    )                                                                 # [N, L, 8]
+    ).reshape(N, L * n_cor)                                           # [N, L*8]
 
-    vals = jnp.take(table, idx.reshape(-1), axis=0).reshape(N, L, 8, C)
-    feat = jnp.sum(w[..., None] * vals, axis=2)                       # [N, L, C]
+    # corner-reduction matrix: R[l*8+c, l] = 1
+    R = np.zeros((L * n_cor, L), np.float32)
+    for l in range(L):
+        R[l * n_cor:(l + 1) * n_cor, l] = 1.0
+    R = jnp.asarray(R)
+
+    flat_idx = idx.reshape(-1).astype(jnp.int32)                      # [N*L*8]
+    feats = []
+    for c in range(C):
+        vals = jnp.take(table[:, c], flat_idx, axis=0).reshape(N, L * n_cor)
+        feats.append(jnp.dot(w * vals, R, preferred_element_type=jnp.float32))
+    feat = jnp.stack(feats, axis=-1)                                  # [N, L, C]
 
     level_ids = jnp.arange(L)
     if max_level is not None:

@@ -105,7 +105,8 @@ class Trainer:
         self.render_spec = RenderSpec(
             bound=cfg.bound, contract=cfg.contract, grid_size=cfg.grid_size,
             min_near=cfg.min_near, density_thresh=cfg.density_thresh,
-            max_steps=cfg.max_steps, num_points=cfg.num_points // self.n_shards,
+            max_steps=cfg.max_steps, num_coarse=128,
+            num_fine=cfg.samples_per_ray,
             dt_gamma=cfg.dt_gamma, sdf=cfg.sdf,
         )
 
@@ -245,8 +246,8 @@ class Trainer:
             inner = jnp.max(jnp.abs(out["xyzs"]), axis=-1) <= 1.0
             pw = jnp.where(out["valid"],
                            jnp.where(inner, 1.0, 10.0), 0.0)
-            tv = hashgrid_tv_loss(params["sigma_table"], x01,
-                                  nspec.density_grid_spec, pw)
+            table = params["sigma_table"] if nspec.separate_tables else params["table"]
+            tv = hashgrid_tv_loss(table, x01, nspec.density_grid_spec, pw)
             loss = loss + cfg.lambda_tv * tv
 
         metrics = {
@@ -338,11 +339,15 @@ class Trainer:
             cam_near_far=dataset.cam_near_far))
 
     def update_grid(self, step: int):
+        from ..models.renderer import GRID_UPDATE_SLABS
         key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed ^ 0x5EED), step)
         dyn = self.dynamics(step)
+        # first update refreshes the full grid; later ones rotate one slab
+        n_update = step // max(self.cfg.update_extra_interval, 1)
+        slab = -1 if n_update == 0 else (n_update - 1) % GRID_UPDATE_SLABS
         new_render = update_density_grid(
             self.state.params, self.state.render, key, self.render_spec,
-            self.net_spec, dyn.max_level)
+            self.net_spec, dyn.max_level, slab=slab)
         self.state = self.state._replace(render=new_render)
 
     @staticmethod
@@ -452,7 +457,9 @@ class Trainer:
             bound=rspec.bound, contract=rspec.contract,
             grid_size=rspec.grid_size, min_near=rspec.min_near,
             density_thresh=rspec.density_thresh, max_steps=rspec.max_steps,
-            num_points=chunk * 128, dt_gamma=rspec.dt_gamma, sdf=rspec.sdf)
+            num_coarse=rspec.num_coarse,
+            num_fine=max(rspec.num_fine, 128),   # denser samples for eval
+            dt_gamma=rspec.dt_gamma, sdf=rspec.sdf)
 
         if not hasattr(self, "_eval_fn"):
             def _eval(params, occ, ro, rd, aabb):

@@ -1,0 +1,145 @@
+"""Dense occupancy-importance sampling + compositing tests
+(behavioral contract: raymarching.cu:332-489, 500-705)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf2mesh_tpu.ops.composite import composite_rays
+from nerf2mesh_tpu.ops.sampling import near_far_from_aabb, sample_rays
+
+
+def test_near_far_aabb():
+    aabb = jnp.asarray([-1.0, -1, -1, 1, 1, 1])
+    rays_o = jnp.asarray([[0.0, 0, 3], [0, 0, 3], [5, 5, 5]])
+    rays_d = jnp.asarray([[0.0, 0, -1], [0, 1, 0], [0, 0, -1]])
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, 0.05)
+    np.testing.assert_allclose(nears[0], 2.0, atol=1e-5)
+    np.testing.assert_allclose(fars[0], 4.0, atol=1e-5)
+    assert float(fars[1]) <= float(nears[1]) + 1e-5
+    assert float(fars[2]) <= float(nears[2]) + 1e-5
+
+
+def _axis_ray():
+    rays_o = jnp.asarray([[0.0, 0, 2.0]])
+    rays_d = jnp.asarray([[0.0, 0, -1.0]])
+    nears, fars = near_far_from_aabb(
+        rays_o, rays_d, jnp.asarray([-1.0, -1, -1, 1, 1, 1]), 0.05)
+    return rays_o, rays_d, nears, fars
+
+
+def test_full_occupancy_uniform():
+    H = 32
+    occ = jnp.ones((1, H, H, H), jnp.uint8)
+    ro, rd, nears, fars = _axis_ray()
+    m = sample_rays(ro, rd, occ, nears, fars, num_coarse=64, num_fine=32,
+                    grid_size=H, cascades=1, bound=1.0, dt_gamma=0.0)
+    assert int(m.total) == 32
+    ts = np.asarray(m.ts[0])
+    # samples uniform over [near, far], increasing
+    assert np.all(np.diff(ts) > 0)
+    assert ts[0] >= float(nears[0]) - 1e-4
+    assert ts[-1] <= float(fars[0]) + 1e-4
+    # dt = occupied length / num_fine
+    np.testing.assert_allclose(np.asarray(m.dts[0]),
+                               (float(fars[0]) - float(nears[0])) / 32, rtol=1e-3)
+    # xyz on the ray
+    np.testing.assert_allclose(
+        np.asarray(m.xyzs[0]),
+        np.asarray(ro)[0] + ts[:, None] * np.asarray(rd)[0], atol=1e-4)
+
+
+def test_empty_occupancy():
+    H = 16
+    occ = jnp.zeros((1, H, H, H), jnp.uint8)
+    ro, rd, nears, fars = _axis_ray()
+    m = sample_rays(ro, rd, occ, nears, fars, num_coarse=64, num_fine=32,
+                    grid_size=H, cascades=1, bound=1.0)
+    assert int(m.total) == 0
+
+
+def test_half_occupancy_concentrates_samples():
+    H = 32
+    occ = np.zeros((1, H, H, H), np.uint8)
+    occ[0, :, :, : H // 2] = 1          # z in [-1, 0)
+    ro, rd, nears, fars = _axis_ray()
+    m = sample_rays(ro, rd, jnp.asarray(occ), nears, fars,
+                    num_coarse=128, num_fine=32, grid_size=H, cascades=1,
+                    bound=1.0)
+    assert int(m.total) == 32
+    z = np.asarray(m.xyzs[0, :, 2])
+    assert np.all(z <= 2 / H + 1e-3)     # all samples in occupied half
+    # sample density doubled vs full occupancy (same count, half the length)
+    np.testing.assert_allclose(np.asarray(m.dts[0]).mean(), 1.0 / 32, rtol=0.15)
+
+
+def naive_composite_dense(sigmas, rgbs, ts, dts, valid, T_thresh=1e-4,
+                          alpha_mode=False):
+    N, K = sigmas.shape
+    image = np.zeros((N, 3)); depth = np.zeros(N); wsum = np.zeros(N)
+    weights = np.zeros_like(sigmas)
+    for n in range(N):
+        T = 1.0
+        for k in range(K):
+            if not valid[n, k]:
+                continue
+            alpha = sigmas[n, k] if alpha_mode else 1 - np.exp(-sigmas[n, k] * dts[n, k])
+            if T < T_thresh:
+                break
+            w = alpha * T
+            weights[n, k] = w
+            image[n] += w * rgbs[n, k]
+            depth[n] += w * ts[n, k]
+            wsum[n] += w
+            T *= 1 - alpha
+    return weights, wsum, depth, image
+
+
+def test_composite_matches_naive(rng):
+    N, K = 4, 32
+    sigmas = rng.uniform(0, 50, (N, K)).astype(np.float32)
+    rgbs = rng.uniform(0, 1, (N, K, 3)).astype(np.float32)
+    ts = np.sort(rng.uniform(1, 3, (N, K)).astype(np.float32), axis=-1)
+    dts = np.full((N, K), 0.02, np.float32)
+    valid = rng.uniform(size=(N, K)) > 0.3
+    valid[1] = False
+    out = composite_rays(jnp.asarray(sigmas), jnp.asarray(rgbs),
+                         jnp.asarray(ts), jnp.asarray(dts), jnp.asarray(valid))
+    w, ws, d, img = naive_composite_dense(sigmas, rgbs, ts, dts, valid)
+    np.testing.assert_allclose(np.asarray(out["weights"]), w, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["weights_sum"]), ws, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["depth"]), d, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["image"]), img, rtol=1e-4, atol=1e-4)
+
+
+def test_composite_alpha_mode(rng):
+    N, K = 2, 16
+    alphas = rng.uniform(0, 0.9, (N, K)).astype(np.float32)
+    rgbs = rng.uniform(0, 1, (N, K, 3)).astype(np.float32)
+    ts = np.tile(np.linspace(1, 2, K, dtype=np.float32), (N, 1))
+    dts = np.full((N, K), 0.05, np.float32)
+    valid = np.ones((N, K), bool)
+    out = composite_rays(jnp.asarray(alphas), jnp.asarray(rgbs), jnp.asarray(ts),
+                         jnp.asarray(dts), jnp.asarray(valid), alpha_mode=True)
+    w, ws, d, img = naive_composite_dense(alphas, rgbs, ts, dts, valid,
+                                          alpha_mode=True)
+    np.testing.assert_allclose(np.asarray(out["weights_sum"]), ws, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["image"]), img, rtol=1e-4, atol=1e-4)
+
+
+def test_composite_grads_finite(rng):
+    N, K = 2, 16
+    sigmas = jnp.asarray(rng.uniform(0, 20, (N, K)).astype(np.float32))
+    rgbs = jnp.asarray(rng.uniform(0, 1, (N, K, 3)).astype(np.float32))
+    ts = jnp.asarray(np.tile(np.linspace(1, 3, K, dtype=np.float32), (N, 1)))
+    dts = jnp.full((N, K), 0.02)
+    valid = jnp.ones((N, K), bool)
+
+    def loss(s, r):
+        out = composite_rays(s, r, ts, dts, valid)
+        return jnp.sum(out["image"] ** 2) + jnp.sum(out["weights_sum"])
+
+    gs, gr = jax.grad(loss, argnums=(0, 1))(sigmas, rgbs)
+    assert np.all(np.isfinite(np.asarray(gs)))
+    assert np.all(np.isfinite(np.asarray(gr)))
+    assert np.any(np.asarray(gs) != 0)

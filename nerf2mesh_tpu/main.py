@@ -72,7 +72,11 @@ def main(argv=None):
         trainer.update_aabb(train_ds.pts_aabb)
 
     trainer.metrics = [PSNRMeter()]
-    trainer.train(train_ds, valid_ds)
+    if cfg.stage == 1:
+        trainer.setup_stage1(train_ds)
+        trainer.train_stage1(train_ds, valid_ds)
+    else:
+        trainer.train(train_ds, valid_ds)
 
     # final eval on val + test (reference main.py:253-263)
     trainer.metrics = [PSNRMeter(), SSIMMeter(), LPIPSMeter()]
@@ -83,7 +87,9 @@ def main(argv=None):
     if not cfg.test_no_video:
         trainer.test_video(test_ds)
 
-    if cfg.stage == 0 and not cfg.test_no_mesh:
+    if cfg.stage == 1:
+        trainer.export_stage1(resolution=cfg.texture_size)
+    elif not cfg.test_no_mesh:
         trainer.save_mesh(resolution=cfg.mcubes_reso,
                           decimate_target=cfg.decimate_target,
                           dataset=train_ds if cfg.mesh_visibility_culling else None)

@@ -51,6 +51,122 @@ def _query_density_grid(trainer, resolution: int, bound: float = 1.0,
     return np.nan_to_num(out.reshape(resolution, resolution, resolution), 0.0)
 
 
+def export_stage1_package(trainer, out_dir: str, h0: int = 2048,
+                          w0: int = 2048) -> None:
+    """Stage-1 web export (parity: reference renderer.py:297-468
+    export_stage1): per cascade, unwrap UVs, bake diffuse + specular-feature
+    textures by rasterizing in UV space and querying geo_feat at interpolated
+    world positions, KNN-inpaint chart borders, write OBJ+MTL+jpgs, and dump
+    the specular MLP to mlp.json (renderer.html-compatible)."""
+    import json
+
+    from PIL import Image
+    from scipy.spatial import cKDTree
+
+    from ..models.network import geo_feat
+    from ..models.rasterizer import RasterSpec, interpolate, rasterize_crop
+    from ..ops.contraction import contract_np
+    from .io import write_obj
+    from .uvatlas import unwrap_uv
+
+    cfg = trainer.cfg
+    nspec = trainer.net_spec
+    params = trainer.state.params
+    mesh = trainer.stage1_mesh
+    os.makedirs(out_dir, exist_ok=True)
+
+    ssaa = max(int(cfg.ssaa), 1)
+    v_all = mesh.vertices + np.asarray(params["vertices_offsets"])
+    f_all = mesh.triangles
+    cascades = len(mesh.v_cumsum) - 1
+
+    @jax.jit
+    def q_feat(pts):
+        return geo_feat(params, pts, nspec)
+
+    cur_h, cur_w = h0, w0
+    for cas in range(cascades):
+        v = v_all[mesh.v_cumsum[cas]:mesh.v_cumsum[cas + 1]]
+        f = f_all[mesh.f_cumsum[cas]:mesh.f_cumsum[cas + 1]] - mesh.v_cumsum[cas]
+
+        uv_src = contract_np(v) if cfg.contract else v
+        vmapping, ft, vt = unwrap_uv(uv_src, f)
+        trainer.log(f"[INFO] unwrap cas {cas}: charts over v={len(v)} f={len(f)} "
+                    f"-> uvv={len(vt)}")
+
+        h, w = cur_h * ssaa, cur_w * ssaa
+        # clip coords in uv space: x = u*2-1, row y = v*2-1 (w=1, z=0.5)
+        clip = np.concatenate([
+            vt[:, :1] * 2 - 1, vt[:, 1:2] * 2 - 1,
+            np.full((len(vt), 1), 0.5, np.float32),
+            np.ones((len(vt), 1), np.float32)], -1).astype(np.float32)
+        world_attr = jnp.asarray(v[vmapping])           # [Nuv, 3]
+        clip_j = jnp.asarray(clip)
+        ft_j = jnp.asarray(ft.astype(np.int32))
+
+        tile = 256
+        spec = RasterSpec(
+            crop=tile, frag=8,
+            max_tris=1 << int(np.ceil(np.log2(max(len(ft), 2)))))
+        feats = np.zeros((h, w, 6), np.float32)
+        mask = np.zeros((h, w), bool)
+        for y0 in range(0, h, tile):
+            for x0 in range(0, w, tile):
+                r = rasterize_crop(clip_j, ft_j, jnp.asarray([y0, x0]), h, w,
+                                   spec)
+                cov = np.asarray(r["covered"])
+                if not cov.any():
+                    continue
+                xyz = interpolate(world_attr, r, ft_j)
+                pts = np.asarray(xyz).reshape(-1, 3)
+                if cfg.contract:
+                    pts = contract_np(pts)
+                vals = np.asarray(q_feat(jnp.asarray(pts)))
+                th = min(tile, h - y0); tw = min(tile, w - x0)
+                feats[y0:y0+th, x0:x0+tw] = vals.reshape(tile, tile, -1)[:th, :tw, :6]
+                mask[y0:y0+th, x0:x0+tw] = cov[:th, :tw]
+
+        feats = (np.clip(feats, 0, 1) * 255).astype(np.uint8)
+
+        # KNN inpaint around charts (renderer.py:378-394)
+        if mask.any() and (~mask).any():
+            from scipy.ndimage import binary_dilation, binary_erosion
+            inpaint_region = binary_dilation(mask, iterations=32) & ~mask
+            search_region = mask & ~binary_erosion(mask, iterations=3)
+            s_coords = np.stack(np.nonzero(search_region), -1)
+            i_coords = np.stack(np.nonzero(inpaint_region), -1)
+            if len(s_coords) and len(i_coords):
+                _, idx = cKDTree(s_coords).query(i_coords, k=1)
+                feats[tuple(i_coords.T)] = feats[tuple(s_coords[idx].T)]
+
+        f0 = Image.fromarray(feats[..., :3])
+        f1 = Image.fromarray(feats[..., 3:6])
+        if ssaa > 1:
+            f0 = f0.resize((cur_w, cur_h), Image.BILINEAR)
+            f1 = f1.resize((cur_w, cur_h), Image.BILINEAR)
+        f0.save(os.path.join(out_dir, f"feat0_{cas}.jpg"), quality=95)
+        f1.save(os.path.join(out_dir, f"feat1_{cas}.jpg"), quality=95)
+
+        write_obj(os.path.join(out_dir, f"mesh_{cas}.obj"), v, f,
+                  vts=vt, fts=ft, mtl_name=f"mesh_{cas}.mtl",
+                  tex_name=f"feat0_{cas}.jpg")
+        trainer.log(f"[INFO] wrote mesh_{cas}.obj + textures ({cur_w}x{cur_h})")
+
+        if not cfg.sdf and cur_h > 2048 and cur_w > 2048:
+            cur_h //= 2
+            cur_w //= 2
+
+    # specular MLP -> mlp.json (renderer.py:454-468); torch layout keys
+    mlp = {}
+    for l, layer in enumerate(params["specular_net"]):
+        mlp[f"net.{l}.weight"] = np.asarray(layer["w"]).tolist()
+    mlp["bound"] = trainer.render_spec.grid_bound
+    mlp["cascade"] = cascades
+    with open(os.path.join(out_dir, "mlp.json"), "w") as fp:
+        json.dump(mlp, fp, indent=2)
+    trainer.log("[INFO] wrote mlp.json")
+
+
 def mark_unseen_triangles(verts: np.ndarray, tris: np.ndarray,
                           mvps: np.ndarray, H: int, W: int) -> np.ndarray:
     """Faces never rasterized by any camera (renderer.py:946-981).

@@ -1,0 +1,269 @@
+"""Differentiable triangle rasterizer — TPU-native (replaces nvdiffrast).
+
+Parity target: the reference's stage-1 path uses nvdiffrast's
+rasterize/interpolate/antialias (renderer.py:860-887) on full frames.  A
+faithful z-buffer port would be scatter/gather bound; this design keeps the
+irregular work small and static:
+
+  * training renders a random CROP (the loss is per-pixel, so crops are an
+    unbiased patch estimator — they also serve the LPIPS patch loss directly);
+  * triangles overlapping the crop are compacted to a fixed budget K, each
+    rasterizing a fixed 8x8-superpixel fragment block over its bbox (meshes
+    are pre-subdivided so screen bboxes fit — see `subdivide_for_raster`);
+  * depth resolve is a scatter-min; the unique winner per pixel is selected
+    with a second scatter-min over fragment ids;
+  * barycentrics (perspective-correct) and depth are recomputed per winning
+    fragment differentiably — XLA autodiff gives d(pixel)/d(clip verts),
+    matching nvdiffrast's rasterize+interpolate gradient flow;
+  * coverage is a *soft* silhouette alpha (signed-distance sigmoid over ~1px):
+    its gradient w.r.t. vertex positions plays the role of dr.antialias's
+    edge gradients (pos_gradient_boost scales it, renderer.py:886-887).
+
+Coordinate conventions follow the reference MVP (provider.py:265-276):
+clip = mvp @ [v, 1]; screen x = (ndc.x+1)/2*W, row y = (ndc.y+1)/2*H
+(the projection's y-flip is already in the matrix); depth = ndc z.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class RasterSpec:
+    crop: int = 128            # crop side in pixels (static)
+    max_tris: int = 8192       # triangle budget per crop after compaction
+    frag: int = 8              # fragment block side: frag x frag superpixels
+    soft_px: float = float(np.sqrt(2.0))  # softness radius of edge alpha (px)
+
+
+def transform_clip(verts: jax.Array, mvp: jax.Array) -> jax.Array:
+    """[V, 3] world -> [V, 4] clip (renderer.py:858)."""
+    v1 = jnp.concatenate([verts, jnp.ones_like(verts[:, :1])], axis=-1)
+    return v1 @ mvp.T
+
+
+@partial(jax.jit, static_argnames=("H", "W", "spec"))
+def rasterize_crop(
+    verts_clip: jax.Array,      # [V, 4]
+    tris: jax.Array,            # [F, 3] int32
+    crop_origin: jax.Array,     # [2] (y0, x0) in pixels, traced
+    H: int, W: int,
+    spec: RasterSpec = RasterSpec(),
+) -> Dict[str, jax.Array]:
+    """Rasterize the [crop x crop] window at crop_origin.
+
+    Returns dict with, per crop pixel:
+      tri_id [C, C] int32 (-1 = empty), bary [C, C, 3] perspective-correct,
+      depth [C, C] ndc z, alpha [C, C] soft coverage, zw [C, C] clip-w.
+    bary/depth/alpha are differentiable w.r.t. verts_clip.
+    """
+    Cp = spec.crop
+    K = spec.max_tris
+    B = spec.frag
+    F = tris.shape[0]
+    f32 = jnp.float32
+
+    w = verts_clip[:, 3]
+    safe_w = jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)
+    ndc = verts_clip[:, :3] / safe_w[:, None]
+    sx = (ndc[:, 0] + 1.0) * 0.5 * W
+    sy = (ndc[:, 1] + 1.0) * 0.5 * H
+    sz = ndc[:, 2]
+    inv_w = 1.0 / safe_w
+
+    y0 = crop_origin[0].astype(f32)
+    x0 = crop_origin[1].astype(f32)
+
+    # --- triangle setup (dense over all F)
+    t = tris
+    tx = jnp.stack([sx[t[:, 0]], sx[t[:, 1]], sx[t[:, 2]]], -1)  # [F, 3]
+    ty = jnp.stack([sy[t[:, 0]], sy[t[:, 1]], sy[t[:, 2]]], -1)
+    tw = jnp.stack([w[t[:, 0]], w[t[:, 1]], w[t[:, 2]]], -1)
+
+    xmin = tx.min(-1); xmax = tx.max(-1)
+    ymin = ty.min(-1); ymax = ty.max(-1)
+    in_front = jnp.all(tw > 1e-6, axis=-1)
+    overlaps = (
+        in_front
+        & (xmax >= x0) & (xmin < x0 + Cp)
+        & (ymax >= y0) & (ymin < y0 + Cp)
+    )
+
+    # --- compact overlapping triangles to K slots (ray-major order)
+    (slot_idx,) = jnp.nonzero(overlaps, size=K, fill_value=F)
+    valid_tri = slot_idx < F
+    sid = jnp.where(valid_tri, slot_idx, 0)
+
+    def g(a):
+        return jnp.take(a, sid, axis=0)
+
+    ktx, kty, ktw = g(tx), g(ty), g(tw)                          # [K, 3]
+    ktz = g(jnp.stack([sz[t[:, 0]], sz[t[:, 1]], sz[t[:, 2]]], -1))
+    kxmin, kymin = g(xmin), g(ymin)
+    kxmax, kymax = g(xmax), g(ymax)
+
+    # --- fragment generation: B x B superpixel block over each tri bbox
+    # stride 1px when bbox fits in B, else strided (subdivision should keep
+    # bboxes <= B for exactness; strided sampling degrades gracefully).
+    bx0 = jnp.clip(jnp.floor(kxmin - x0), 0, Cp - 1)
+    by0 = jnp.clip(jnp.floor(kymin - y0), 0, Cp - 1)
+    bx1 = jnp.clip(jnp.ceil(kxmax - x0), 1, Cp)
+    by1 = jnp.clip(jnp.ceil(kymax - y0), 1, Cp)
+    stx = jnp.maximum((bx1 - bx0) / B, 1.0)                      # [K]
+    sty = jnp.maximum((by1 - by0) / B, 1.0)
+
+    ii = jnp.arange(B, dtype=f32)
+    fx = bx0[:, None] + (ii[None, :] + 0.0) * stx[:, None]        # [K, B]
+    fy = by0[:, None] + (ii[None, :] + 0.0) * sty[:, None]
+    px = jnp.floor(fx)                                            # crop pixel col
+    py = jnp.floor(fy)
+
+    # pixel centers in full-screen coords: [K, B, B]
+    cx = (x0 + px[:, None, :]) + 0.5                              # [K, 1, B] -> bcast
+    cy = (y0 + py[:, :, None]) + 0.5                              # [K, B, 1]
+    cx = jnp.broadcast_to(cx, (K, B, B))
+    cy = jnp.broadcast_to(cy, (K, B, B))
+
+    # edge functions / screen barycentrics
+    x1, x2, x3 = ktx[:, 0, None, None], ktx[:, 1, None, None], ktx[:, 2, None, None]
+    y1, y2, y3 = kty[:, 0, None, None], kty[:, 1, None, None], kty[:, 2, None, None]
+    det = (x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)           # [K,1,1]
+    det_safe = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    l1 = ((x2 - cx) * (y3 - cy) - (x3 - cx) * (y2 - cy)) / det_safe
+    l2 = ((x3 - cx) * (y1 - cy) - (x1 - cx) * (y3 - cy)) / det_safe
+    l3 = 1.0 - l1 - l2                                            # [K, B, B]
+
+    # signed distance to the nearest edge (screen px) for soft coverage:
+    # lambda_i scaled by the corresponding altitude length.
+    def edge_dist(l, xa, ya, xb, yb):
+        elen = jnp.sqrt((xb - xa) ** 2 + (yb - ya) ** 2) + 1e-12
+        return l * jnp.abs(det_safe) / elen                        # ~ px distance
+
+    d1 = edge_dist(l1, x2, y2, x3, y3)
+    d2 = edge_dist(l2, x3, y3, x1, y1)
+    d3 = edge_dist(l3, x1, y1, x2, y2)
+    sdist = jnp.minimum(jnp.minimum(d1, d2), d3)                   # >0 inside
+    alpha = jax.nn.sigmoid(sdist * (4.0 / spec.soft_px))           # [K, B, B]
+
+    inside = sdist > -0.5                                          # rasterize near-edge too
+    in_crop = (px[:, None, :] >= 0) & (px[:, None, :] < Cp) & \
+              (py[:, :, None] >= 0) & (py[:, :, None] < Cp)
+    in_crop = jnp.broadcast_to(in_crop, (K, B, B))
+    live = inside & in_crop & valid_tri[:, None, None]
+
+    # perspective-correct barycentrics + depth
+    iw1, iw2, iw3 = (1.0 / ktw[:, 0, None, None], 1.0 / ktw[:, 1, None, None],
+                     1.0 / ktw[:, 2, None, None])
+    denom = l1 * iw1 + l2 * iw2 + l3 * iw3
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    b1 = l1 * iw1 / denom
+    b2 = l2 * iw2 / denom
+    b3 = 1.0 - b1 - b2
+    z1, z2, z3 = ktz[:, 0, None, None], ktz[:, 1, None, None], ktz[:, 2, None, None]
+    depth = l1 * z1 + l2 * z2 + l3 * z3     # ndc z is screen-linear
+
+    # --- resolve: scatter-min depth, then unique winner by fragment id
+    pix = (py[:, :, None] * Cp + px[:, None, :]).astype(jnp.int32)
+    pix = jnp.broadcast_to(pix, (K, B, B))
+    pix_flat = jnp.where(live, pix, Cp * Cp).reshape(-1)           # dump slot
+
+    NP = Cp * Cp + 1
+    depth_det = jax.lax.stop_gradient(depth).reshape(-1)
+    depth_det = jnp.where(live.reshape(-1), depth_det, jnp.inf)
+
+    zmin = jnp.full((NP,), jnp.inf, f32).at[pix_flat].min(depth_det)
+    frag_wins = depth_det <= (jnp.take(zmin, pix_flat) + 1e-9)
+
+    frag_ids = jnp.arange(K * B * B, dtype=jnp.int32)
+    frag_ids_masked = jnp.where(frag_wins, frag_ids, K * B * B)
+    win_id = jnp.full((NP,), K * B * B, jnp.int32).at[pix_flat].min(frag_ids_masked)
+    is_winner = frag_ids == jnp.take(win_id, pix_flat)             # unique per pixel
+
+    wmask = is_winner.reshape(K, B, B).astype(f32)
+
+    def resolve(field):
+        flat = (field * wmask).reshape(-1)
+        return jnp.zeros((NP,), f32).at[pix_flat].add(flat)[:-1].reshape(Cp, Cp)
+
+    tri_of_frag = jnp.broadcast_to(sid[:, None, None].astype(f32), (K, B, B))
+    out_tri = resolve(tri_of_frag).astype(jnp.int32)
+    covered = resolve(jnp.ones_like(wmask)) > 0
+    out_tri = jnp.where(covered, out_tri, -1)
+
+    # coverage alpha: max over ALL live fragments (not just the depth winner),
+    # so interior tri-tri edges stay opaque; only true silhouettes go soft.
+    alpha_flat = jnp.where(live.reshape(-1), alpha.reshape(-1), 0.0)
+    alpha_img = jnp.zeros((NP,), f32).at[pix_flat].max(alpha_flat)[:-1]
+
+    return {
+        "tri_id": out_tri,
+        "bary": jnp.stack([resolve(b1), resolve(b2), resolve(b3)], axis=-1),
+        "depth": resolve(depth),
+        "alpha": jnp.clip(alpha_img.reshape(Cp, Cp), 0.0, 1.0),
+        "covered": covered,
+    }
+
+
+def interpolate(attrs: jax.Array, rast: Dict[str, jax.Array],
+                tris: jax.Array) -> jax.Array:
+    """Per-pixel attribute interpolation (dr.interpolate analog).
+
+    attrs: [V, C]; uses the crop's tri_id + perspective-correct barycentrics.
+    Differentiable w.r.t. attrs and (through bary) the clip vertices.
+    """
+    tri_id = rast["tri_id"]
+    safe_id = jnp.maximum(tri_id, 0)
+    corner = jnp.take(tris, safe_id.reshape(-1), axis=0)           # [P, 3]
+    a = jnp.take(attrs, corner.reshape(-1), axis=0).reshape(
+        corner.shape[0], 3, -1)                                     # [P, 3, C]
+    b = rast["bary"].reshape(-1, 3)
+    out = jnp.einsum("pkc,pk->pc", a, b)
+    out = jnp.where(rast["covered"].reshape(-1, 1), out, 0.0)
+    return out.reshape(*tri_id.shape, -1)
+
+
+def rasterize_trig_id(verts: jax.Array, tris: jax.Array, mvp: jax.Array,
+                      H: int, W: int, crop: int = 256) -> jax.Array:
+    """Full-frame triangle-id buffer by looping crops (visibility culling,
+    renderer.py:946-981). Host loop; returns [H, W] int32, -1 empty."""
+    clip = transform_clip(verts, mvp)
+    spec = RasterSpec(crop=crop,
+                      max_tris=1 << int(np.ceil(np.log2(max(tris.shape[0], 2)))))
+    out = np.full((H, W), -1, np.int32)
+    for y0 in range(0, H, crop):
+        for x0 in range(0, W, crop):
+            r = rasterize_crop(clip, tris, jnp.asarray([y0, x0]), H, W, spec)
+            tile = np.asarray(r["tri_id"])
+            h = min(crop, H - y0); wdt = min(crop, W - x0)
+            out[y0:y0 + h, x0:x0 + wdt] = tile[:h, :wdt]
+    return out
+
+
+def subdivide_for_raster(verts: np.ndarray, tris: np.ndarray,
+                         max_edge: float) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side preprocessing: midpoint-subdivide triangles until no edge
+    exceeds max_edge (world units), bounding projected bbox size so each
+    triangle fits its fragment block."""
+    from ..meshing.meshops import midpoint_subdivide
+    verts = np.asarray(verts, np.float32)
+    tris = np.asarray(tris, np.int64)
+    for _ in range(16):
+        e = np.stack([
+            np.linalg.norm(verts[tris[:, 0]] - verts[tris[:, 1]], axis=-1),
+            np.linalg.norm(verts[tris[:, 1]] - verts[tris[:, 2]], axis=-1),
+            np.linalg.norm(verts[tris[:, 2]] - verts[tris[:, 0]], axis=-1),
+        ], -1).max(-1)
+        big = e > max_edge
+        if not big.any():
+            break
+        verts, tris = midpoint_subdivide(verts, tris, big)
+        tris = tris.astype(np.int64)
+    return verts.astype(np.float32), tris.astype(np.int32)

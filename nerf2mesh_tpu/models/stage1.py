@@ -1,0 +1,274 @@
+"""Stage 1: mesh refinement through differentiable rasterization.
+
+Parity targets in the reference:
+  * mesh loading + learnable vertex offsets:  renderer.py:121-165
+  * render_stage1 (rasterize -> masked field query -> antialias):
+    renderer.py:816-921
+  * per-face error accumulation: renderer.py:923-943
+  * refine_and_decimate: renderer.py:209-294
+  * smoothness losses (laplacian / normal consistency / edge length):
+    utils.py:116-221, 759-769
+
+TPU-native differences: training renders random crops (see rasterizer.py);
+mesh topology is host state (numpy) rebuilt at refine steps, with device
+arrays re-uploaded and the step function re-jitted (topology changes 6x per
+run — reference refine_steps — so recompiles are cheap relative to training).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.contraction import contract
+from .network import NetworkSpec, rgb as field_rgb
+from .rasterizer import RasterSpec, interpolate, rasterize_crop, transform_clip
+
+
+@dataclass
+class Stage1Mesh:
+    """Host-side mesh topology + device buffers (rebuilt on refine)."""
+    vertices: np.ndarray          # [V, 3] float32 (base positions)
+    triangles: np.ndarray         # [F, 3] int32
+    v_cumsum: np.ndarray          # [cascades+1]
+    f_cumsum: np.ndarray
+    edges: np.ndarray = None            # [E, 2] unique edges
+    face_pairs: np.ndarray = None       # [P, 2] adjacent face ids (shared edge)
+    vert_degree: np.ndarray = None      # [V]
+
+    def __post_init__(self):
+        self.build_adjacency()
+
+    def build_adjacency(self):
+        t = self.triangles.astype(np.int64)
+        e = np.concatenate([t[:, [0, 1]], t[:, [1, 2]], t[:, [2, 0]]])
+        fid = np.tile(np.arange(len(t)), 3)
+        e_sorted = np.sort(e, axis=1)
+        key = e_sorted[:, 0] * (len(self.vertices) + 1) + e_sorted[:, 1]
+        order = np.argsort(key, kind="stable")
+        key_s, fid_s, e_s = key[order], fid[order], e_sorted[order]
+        uniq_mask = np.concatenate([[True], key_s[1:] != key_s[:-1]])
+        self.edges = e_s[uniq_mask].astype(np.int32)
+        # adjacent face pairs: consecutive duplicates in sorted key
+        pair_mask = ~uniq_mask
+        self.face_pairs = np.stack(
+            [fid_s[np.nonzero(pair_mask)[0] - 1], fid_s[pair_mask]], -1
+        ).astype(np.int32)
+        deg = np.bincount(self.edges.reshape(-1), minlength=len(self.vertices))
+        self.vert_degree = np.maximum(deg, 1).astype(np.float32)
+
+    @property
+    def num_vertices(self) -> int:
+        return len(self.vertices)
+
+    @property
+    def num_faces(self) -> int:
+        return len(self.triangles)
+
+
+def load_stage1_mesh(workspace: str, cascades: int, mesh_path: str = "",
+                     use_updated: bool = True,
+                     max_screen_edge: float = 0.0) -> Stage1Mesh:
+    """Load cascade meshes from mesh_stage0/ (renderer.py:130-153)."""
+    from ..meshing.io import read_ply
+
+    verts, tris = [], []
+    v_cumsum, f_cumsum = [0], [0]
+    for cas in range(cascades):
+        base = os.path.join(workspace, "mesh_stage0")
+        upd = os.path.join(base, f"mesh_{cas}_updated.ply")
+        is_updated = False
+        if mesh_path:
+            p = mesh_path
+        elif use_updated and os.path.exists(upd):
+            p = upd
+            is_updated = True
+        else:
+            p = os.path.join(base, f"mesh_{cas}.ply")
+        v, f = read_ply(p)
+        # subdivide only the base mesh so the raster fragment-block bound
+        # holds; updated meshes already carry refined topology and must stay
+        # byte-stable across reloads (checkpointed offsets index them).
+        if max_screen_edge > 0 and not is_updated:
+            from .rasterizer import subdivide_for_raster
+            v, f = subdivide_for_raster(v, f, max_screen_edge)
+        verts.append(v)
+        tris.append(f + v_cumsum[-1])
+        v_cumsum.append(v_cumsum[-1] + len(v))
+        f_cumsum.append(f_cumsum[-1] + len(f))
+    return Stage1Mesh(
+        vertices=np.concatenate(verts).astype(np.float32),
+        triangles=np.concatenate(tris).astype(np.int32),
+        v_cumsum=np.asarray(v_cumsum), f_cumsum=np.asarray(f_cumsum),
+    )
+
+
+def init_offsets(mesh: Stage1Mesh) -> jax.Array:
+    return jnp.zeros((mesh.num_vertices, 3), jnp.float32)
+
+
+def render_stage1_crop(
+    params: Dict,
+    offsets: jax.Array,           # [V, 3] learnable
+    mesh_v: jax.Array,            # [V, 3]
+    mesh_f: jax.Array,            # [F, 3]
+    mvp: jax.Array,               # [4, 4]
+    crop_origin: jax.Array,       # [2]
+    dirs: jax.Array,              # [C, C, 3] per-pixel view dirs (unnormalized)
+    bg_color: jax.Array,          # [C, C, 3]
+    net_spec: NetworkSpec,
+    raster_spec: RasterSpec,
+    H: int, W: int,
+    *,
+    shading: str = "full",
+    ind_code: Optional[jax.Array] = None,
+    contracted: bool = False,
+    enable_offset_nerf_grad: bool = False,
+    pos_gradient_boost: float = 1.0,
+) -> Dict[str, jax.Array]:
+    """One differentiable crop render (renderer.py:816-921)."""
+    Cp = raster_spec.crop
+    verts = mesh_v + offsets
+    clip = transform_clip(verts, mvp)
+    if pos_gradient_boost != 1.0:
+        # scale d(loss)/d(clip) like dr.antialias(pos_gradient_boost)
+        b = pos_gradient_boost
+        clip = clip * b + jax.lax.stop_gradient(clip * (1.0 - b))
+
+    rast = rasterize_crop(clip, mesh_f, crop_origin, H, W, raster_spec)
+
+    xyzs = interpolate(verts, rast, mesh_f)                       # [C, C, 3]
+    if contracted:
+        xyzs = contract(xyzs)
+    if not enable_offset_nerf_grad:
+        xyzs = jax.lax.stop_gradient(xyzs)
+
+    d = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    flat_x = xyzs.reshape(-1, 3)
+    flat_d = d.reshape(-1, 3)
+    colors, _ = field_rgb(params, flat_x, flat_d, net_spec, ind_code, shading)
+    rgbs = colors.reshape(Cp, Cp, 3)
+    rgbs = jnp.where(rast["covered"][..., None], rgbs, 0.0)
+
+    alpha = rast["alpha"][..., None]
+    image = alpha * rgbs + (1.0 - alpha) * bg_color
+    depth = rast["alpha"] * rast["depth"]
+
+    return {
+        "image": image,
+        "depth": depth,
+        "weights_sum": rast["alpha"],
+        "trig_id": rast["tri_id"],
+    }
+
+
+# ---------------- mesh regularizers (utils.py:116-221, 759-789) -------------
+
+def laplacian_loss(verts: jax.Array, edges: jax.Array,
+                   degree: jax.Array) -> jax.Array:
+    """Uniform laplacian smoothing: mean || v - mean(neighbors) ||
+    (utils.py:190-221 laplacian_smooth_loss)."""
+    V = verts.shape[0]
+    acc = jnp.zeros_like(verts)
+    acc = acc.at[edges[:, 0]].add(verts[edges[:, 1]])
+    acc = acc.at[edges[:, 1]].add(verts[edges[:, 0]])
+    lap = verts - acc / degree[:, None]
+    return jnp.mean(jnp.linalg.norm(lap, axis=-1))
+
+
+def normal_consistency_loss(verts: jax.Array, tris: jax.Array,
+                            face_pairs: jax.Array) -> jax.Array:
+    """1 - cos between adjacent face normals (pytorch3d
+    mesh_normal_consistency analog, utils.py:763)."""
+    v0 = verts[tris[:, 0]]
+    n = jnp.cross(verts[tris[:, 1]] - v0, verts[tris[:, 2]] - v0)
+    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+    na = n[face_pairs[:, 0]]
+    nb = n[face_pairs[:, 1]]
+    return jnp.mean(1.0 - jnp.abs(jnp.sum(na * nb, axis=-1)))
+
+
+def edge_length_loss(verts: jax.Array, edges: jax.Array) -> jax.Array:
+    """Mean squared edge length (pytorch3d mesh_edge_loss analog)."""
+    d = verts[edges[:, 0]] - verts[edges[:, 1]]
+    return jnp.mean(jnp.sum(d * d, axis=-1))
+
+
+def offsets_loss(offsets: jax.Array, v_inner: int,
+                 bound: float) -> jax.Array:
+    """L2 on offsets, 0.1x weight for outer-cascade vertices
+    (utils.py:771-789)."""
+    inner = offsets[:v_inner]
+    loss = jnp.mean(jnp.sum(inner ** 2, axis=-1))
+    if offsets.shape[0] > v_inner:
+        outer = offsets[v_inner:]
+        loss = loss + 0.1 * jnp.mean(jnp.sum(outer ** 2, axis=-1))
+    return loss
+
+
+# ---------------- adaptive refinement (renderer.py:209-294) ------------------
+
+def refine_and_decimate(
+    mesh: Stage1Mesh,
+    offsets: np.ndarray,
+    errors: np.ndarray,            # [F] accumulated error
+    counts: np.ndarray,            # [F]
+    cfg,
+    workspace: str,
+) -> Stage1Mesh:
+    """Percentile-driven decimate/subdivide of the inner mesh; writes
+    mesh_{cas}_updated.ply and returns the rebuilt topology."""
+    from ..meshing import meshops
+    from ..meshing.io import write_ply
+
+    v = (mesh.vertices + np.asarray(offsets)).astype(np.float32)
+    f = mesh.triangles
+
+    cnt_mask = counts > 0
+    err = errors.copy()
+    err[cnt_mask] = err[cnt_mask] / counts[cnt_mask]
+
+    f1 = mesh.f_cumsum[1]
+    err = err[:f1]
+    cnt_mask = cnt_mask[:f1]
+
+    if cfg.sdf or not cnt_mask.any():
+        mask = np.ones_like(err)
+    else:
+        thresh_refine = np.percentile(err[cnt_mask], 90)
+        thresh_decimate = np.percentile(err[cnt_mask], 50)
+        mask = np.zeros_like(err)
+        mask[(err > thresh_refine) & cnt_mask] = 2
+        mask[(err < thresh_decimate) & cnt_mask] = 1
+
+    out_dir = os.path.join(workspace, "mesh_stage0")
+    os.makedirs(out_dir, exist_ok=True)
+
+    cascades = len(mesh.v_cumsum) - 1
+    verts, tris = [], []
+    v_cumsum, f_cumsum = [0], [0]
+    for cas in range(cascades):
+        cv = v[mesh.v_cumsum[cas]:mesh.v_cumsum[cas + 1]]
+        cf = (f[mesh.f_cumsum[cas]:mesh.f_cumsum[cas + 1]]
+              - mesh.v_cumsum[cas])
+        if cas == 0:
+            cv, cf = meshops.decimate_and_refine_mesh(
+                cv, cf, mask, decimate_ratio=cfg.refine_decimate_ratio,
+                refine_size=cfg.refine_size,
+                refine_remesh_size=cfg.refine_remesh_size)
+        write_ply(os.path.join(out_dir, f"mesh_{cas}_updated.ply"), cv, cf)
+        verts.append(cv)
+        tris.append(cf + v_cumsum[-1])
+        v_cumsum.append(v_cumsum[-1] + len(cv))
+        f_cumsum.append(f_cumsum[-1] + len(cf))
+
+    return Stage1Mesh(
+        vertices=np.concatenate(verts).astype(np.float32),
+        triangles=np.concatenate(tris).astype(np.int32),
+        v_cumsum=np.asarray(v_cumsum), f_cumsum=np.asarray(f_cumsum),
+    )

@@ -64,17 +64,26 @@ def lr_schedule(cfg: Config):
 
 
 def make_optimizer(cfg: Config):
-    """Adam(eps=1e-15) with 0.1x lr for individual codes and SDF variance
-    (reference main.py:221, renderer.py:173-174, network.py:206)."""
+    """Adam(eps=1e-15) with 0.1x lr for individual codes and SDF variance,
+    and lr_vert for stage-1 vertex offsets (reference main.py:221,
+    renderer.py:173-180, network.py:206)."""
     def label_fn(params):
-        return {
-            k: ("slow" if k in ("individual_codes", "variance") else "base")
-            for k in params
-        }
+        out = {}
+        for k in params:
+            if k in ("individual_codes", "variance"):
+                out[k] = "slow"
+            elif k == "vertices_offsets":
+                out[k] = "vert"
+            else:
+                out[k] = "base"
+        return out
     sched = lr_schedule(cfg)
     base = optax.adam(learning_rate=sched, eps=1e-15)
     slow = optax.adam(learning_rate=lambda it: sched(it) * 0.1, eps=1e-15)
-    return optax.multi_transform({"base": base, "slow": slow}, label_fn)
+    vert = optax.adam(
+        learning_rate=lambda it: sched(it) * (cfg.lr_vert / cfg.lr), eps=1e-15)
+    return optax.multi_transform(
+        {"base": base, "slow": slow, "vert": vert}, label_fn)
 
 
 class StepDynamics(NamedTuple):
@@ -491,14 +500,22 @@ class Trainer:
 
     def evaluate(self, dataset: Dataset, name: str = "eval",
                  write_images: bool = False,
-                 max_frames: Optional[int] = None) -> Dict[str, float]:
+                 max_frames: Optional[int] = None,
+                 stage1: Optional[bool] = None) -> Dict[str, float]:
+        if stage1 is None:
+            stage1 = self.cfg.stage > 0
         for m in self.metrics:
             m.clear()
         B = dataset.num_frames if max_frames is None else min(
             max_frames, dataset.num_frames)
         for i in range(B):
-            out = self.render_image(dataset.poses[i], dataset.intrinsics,
-                                    dataset.H, dataset.W)
+            if stage1:
+                out = self.render_image_stage1(
+                    dataset.poses[i], dataset.mvps[i], dataset.intrinsics,
+                    dataset.H, dataset.W)
+            else:
+                out = self.render_image(dataset.poses[i], dataset.intrinsics,
+                                        dataset.H, dataset.W)
             pred = out["image"]
             if dataset.images is not None:
                 gt = dataset.images[i].astype(np.float32) / 255.0
@@ -517,13 +534,276 @@ class Trainer:
         self.stats["results"].append(results)
         return results
 
+    # ------------------------------------------------------------- stage 1
+    def setup_stage1(self, dataset: Dataset):
+        """Load cascade meshes, create offset params, rebuild optimizer
+        (renderer.py:121-165; utils.py:587-589 stage handoff)."""
+        from ..models.stage1 import Stage1Mesh, init_offsets, load_stage1_mesh
+
+        # subdivision cap so projected bboxes fit the fragment block:
+        # screen_px ~ edge * fl / z; use z ~ 1, keep edge <= frag * z / fl
+        self._s1_crop = int(min(128, dataset.H, dataset.W))
+        fl = float(dataset.intrinsics[0])
+        max_edge = self._raster_spec().frag * 0.8 / fl
+        self.stage1_mesh = load_stage1_mesh(
+            self.workspace, self.render_spec.cascades, mesh_path=self.cfg.mesh,
+            use_updated=self.cfg.ckpt != "scratch", max_screen_edge=max_edge)
+        self.log(f"[INFO] stage1 mesh: v={self.stage1_mesh.num_vertices} "
+                 f"f={self.stage1_mesh.num_faces}")
+        self._reset_stage1_params()
+
+    def _raster_spec(self):
+        from ..models.rasterizer import RasterSpec
+        ntri = getattr(self, "stage1_mesh", None)
+        cap = 2 ** 15 if ntri is None else min(
+            2 ** 17, 1 << int(np.ceil(np.log2(max(ntri.num_faces, 2)))))
+        return RasterSpec(crop=getattr(self, "_s1_crop", 128),
+                          max_tris=cap, frag=8)
+
+    def _reset_stage1_params(self):
+        """(Re)create offsets + error accumulators and re-init the optimizer
+        after topology changes (utils.py:1208-1211)."""
+        from ..models.stage1 import init_offsets
+        mesh = self.stage1_mesh
+        params = dict(self.state.params)
+        old = params.get("vertices_offsets")
+        if old is not None and old.shape[0] == mesh.num_vertices:
+            # checkpoint-resumed with unchanged topology: keep offsets and
+            # optimizer moments
+            params["vertices_offsets"] = old
+            opt_state = self.state.opt_state
+        else:
+            params["vertices_offsets"] = init_offsets(mesh)
+            opt_state = self.optimizer.init(params)
+        self.state = self.state._replace(
+            params=params,
+            opt_state=opt_state,
+            ema_params=jax.tree_util.tree_map(jnp.copy, params))
+        self.mesh_v = jnp.asarray(mesh.vertices)
+        self.mesh_f = jnp.asarray(mesh.triangles)
+        self.mesh_edges = jnp.asarray(mesh.edges)
+        self.mesh_deg = jnp.asarray(mesh.vert_degree)
+        self.mesh_pairs = jnp.asarray(mesh.face_pairs)
+        self.tri_errors = jnp.zeros((mesh.num_faces,), jnp.float32)
+        self.tri_counts = jnp.zeros((mesh.num_faces,), jnp.float32)
+        self._stage1_step_fn = None
+
+    def _build_stage1_step(self):
+        cfg = self.cfg
+        nspec = self.net_spec
+        rspec = self._raster_spec()
+        optimizer = self.optimizer
+        v_inner = int(self.stage1_mesh.v_cumsum[1])
+        Cp = rspec.crop
+
+        from ..models.stage1 import (
+            edge_length_loss, laplacian_loss, normal_consistency_loss,
+            offsets_loss, render_stage1_crop)
+        from ..data.rays import pixel_dirs_cam
+
+        def step_fn(state: TrainState, tri_errors, tri_counts, images_u8,
+                    poses, mvps, intrinsics, dyn: StepDynamics):
+            key, k_img, k_crop, k_bg = jax.random.split(state.key, 4)
+            B, H, W, C = images_u8.shape
+            img_idx = jax.random.randint(k_img, (), 0, B)
+            cy0 = jax.random.randint(k_crop, (), 0, max(H - Cp, 1))
+            cx0 = jax.random.randint(k_crop, (), 0, max(W - Cp, 1))
+            crop_origin = jnp.stack([cy0, cx0])
+
+            gt_raw = jax.lax.dynamic_slice(
+                images_u8, (img_idx, cy0, cx0, 0), (1, Cp, Cp, C)
+            )[0].astype(jnp.float32) / 255.0
+
+            if cfg.background == "white":
+                bg = jnp.ones((Cp, Cp, 3))
+            else:
+                bg = jax.random.uniform(k_bg, (Cp, Cp, 3))
+
+            if C == 4:
+                gt_mask = gt_raw[..., 3:]
+                gt_rgb = gt_raw[..., :3] * gt_mask + bg * (1 - gt_mask)
+            else:
+                gt_mask = None
+                gt_rgb = gt_raw
+
+            # per-pixel view directions for the crop
+            jj = cy0 + jnp.arange(Cp)[:, None] + 0.5
+            ii = cx0 + jnp.arange(Cp)[None, :] + 0.5
+            jj = jnp.broadcast_to(jj.astype(jnp.float32), (Cp, Cp))
+            ii = jnp.broadcast_to(ii.astype(jnp.float32), (Cp, Cp))
+            dcam = pixel_dirs_cam(
+                ii.reshape(-1), jj.reshape(-1),
+                (intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]))
+            pose = poses[img_idx]
+            dirs = (dcam @ pose[:3, :3].T).reshape(Cp, Cp, 3)
+            mvp = mvps[img_idx]
+
+            ind_code = None
+            if cfg.ind_dim > 0:
+                ind_code = state.params["individual_codes"][img_idx][None]
+
+            def loss_fn(params):
+                out = render_stage1_crop(
+                    params, params["vertices_offsets"], self.mesh_v,
+                    self.mesh_f, mvp, crop_origin, dirs, bg, nspec, rspec,
+                    H, W,
+                    shading="full",
+                    ind_code=ind_code, contracted=cfg.contract,
+                    enable_offset_nerf_grad=cfg.enable_offset_nerf_grad,
+                    pos_gradient_boost=cfg.pos_gradient_boost)
+
+                loss_pix = cfg.lambda_rgb * jnp.mean(
+                    (out["image"] - gt_rgb) ** 2, axis=-1)
+                if gt_mask is not None and cfg.lambda_mask > 0:
+                    loss_pix = loss_pix + cfg.lambda_mask * (
+                        (out["weights_sum"] - gt_mask[..., 0]) ** 2)
+                loss = jnp.mean(loss_pix)
+
+                verts = self.mesh_v + params["vertices_offsets"]
+                if cfg.lambda_lap > 0:
+                    loss += cfg.lambda_lap * laplacian_loss(
+                        verts, self.mesh_edges, self.mesh_deg)
+                if cfg.lambda_normal > 0:
+                    loss += cfg.lambda_normal * normal_consistency_loss(
+                        verts, self.mesh_f, self.mesh_pairs)
+                if cfg.lambda_edgelen > 0:
+                    loss += cfg.lambda_edgelen * edge_length_loss(
+                        verts, self.mesh_edges)
+                if cfg.lambda_offsets > 0:
+                    loss += cfg.lambda_offsets * offsets_loss(
+                        params["vertices_offsets"], v_inner, cfg.bound)
+
+                metrics = {
+                    "loss": loss,
+                    "psnr": -10.0 * jnp.log10(jnp.maximum(
+                        jnp.mean((out["image"] - gt_rgb) ** 2), 1e-12)),
+                }
+                return loss, (metrics, out["trig_id"], loss_pix)
+
+            (loss, (metrics, trig_id, loss_pix)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            params = optax.apply_updates(state.params, updates)
+
+            # per-face error accumulation (renderer.py:923-943)
+            tid = trig_id.reshape(-1)
+            lp = jax.lax.stop_gradient(loss_pix).reshape(-1)
+            valid = tid >= 0
+            safe = jnp.where(valid, tid, 0)
+            tri_errors = tri_errors.at[safe].add(jnp.where(valid, lp, 0.0))
+            tri_counts = tri_counts.at[safe].add(valid.astype(jnp.float32))
+
+            new_state = TrainState(
+                params=params, opt_state=opt_state,
+                ema_params=state.ema_params,     # no EMA in stage 1 (main.py:241)
+                ema_count=state.ema_count,
+                render=state.render, step=state.step + 1, key=key)
+            return new_state, tri_errors, tri_counts, metrics
+
+        return jax.jit(step_fn, donate_argnums=(0, 1, 2))
+
+    def train_stage1(self, dataset: Dataset, valid_dataset: Optional[Dataset] = None,
+                     max_steps: Optional[int] = None):
+        from ..models.stage1 import refine_and_decimate
+        cfg = self.cfg
+        steps = max_steps if max_steps is not None else cfg.iters
+        images = jnp.asarray(dataset.images)
+        poses = jnp.asarray(dataset.poses)
+        mvps = jnp.asarray(dataset.mvps)
+        intrinsics = jnp.asarray(dataset.intrinsics)
+
+        eval_interval = max(1, steps // max(cfg.n_eval, 1))
+        t0 = time.time()
+        start = int(self.state.step)
+        last = None
+        for step in range(start, steps):
+            if cfg.refine and (step + 1) in cfg.refine_steps:
+                self.log(f"[INFO] refine at step {step+1}")
+                self.stage1_mesh = refine_and_decimate(
+                    self.stage1_mesh,
+                    np.asarray(self.state.params["vertices_offsets"]),
+                    np.asarray(self.tri_errors), np.asarray(self.tri_counts),
+                    cfg, self.workspace)
+                self._reset_stage1_params()
+
+            if self._stage1_step_fn is None:
+                self._stage1_step_fn = self._build_stage1_step()
+
+            (self.state, self.tri_errors, self.tri_counts,
+             last) = self._stage1_step_fn(
+                self.state, self.tri_errors, self.tri_counts, images, poses,
+                mvps, intrinsics, self.dynamics(step))
+
+            if (step + 1) % max(1, steps // 10) == 0 or step == steps - 1:
+                m = {k: float(v) for k, v in last.items()}
+                self.log(f"[stage1 {step+1}/{steps}] loss={m['loss']:.6f} "
+                         f"psnr={m['psnr']:.2f} f={self.stage1_mesh.num_faces} "
+                         f"{(time.time()-t0):.1f}s")
+            if valid_dataset is not None and (step + 1) % eval_interval == 0:
+                self.evaluate(valid_dataset, name=f"s1_step{step+1}",
+                              stage1=True)
+            if (step + 1) % max(1, steps // max(cfg.n_ckpt, 1)) == 0 \
+                    or step == steps - 1:
+                self.save_checkpoint()
+        return last
+
+    def render_image_stage1(self, pose: np.ndarray, mvp: np.ndarray,
+                            intrinsics, H: int, W: int,
+                            bg_color: float = 1.0) -> Dict[str, np.ndarray]:
+        """Full-frame stage-1 render by looping crops."""
+        from ..models.stage1 import render_stage1_crop
+        from ..data.rays import pixel_dirs_cam
+        rspec = self._raster_spec()
+        Cp = rspec.crop
+        nspec = self.net_spec
+        params = self.state.params
+
+        if not hasattr(self, "_s1_eval_fn") or self._s1_eval_fn is None:
+            @jax.jit
+            def _eval(params, mesh_v, mesh_f, mvp, origin, dirs, bg):
+                return render_stage1_crop(
+                    params, params["vertices_offsets"], mesh_v, mesh_f,
+                    mvp, origin, dirs, bg, nspec, rspec, H, W,
+                    shading="full", contracted=self.cfg.contract)
+            self._s1_eval_fn = _eval
+
+        image = np.zeros((H, W, 3), np.float32)
+        depth = np.zeros((H, W), np.float32)
+        wsum = np.zeros((H, W), np.float32)
+        fx, fy, cx, cy = np.asarray(intrinsics)
+        bg = jnp.full((Cp, Cp, 3), bg_color)
+        for y0 in range(0, H, Cp):
+            for x0 in range(0, W, Cp):
+                jj, ii = np.meshgrid(np.arange(Cp) + y0 + 0.5,
+                                     np.arange(Cp) + x0 + 0.5, indexing="ij")
+                dcam = np.stack([(ii - cx) / fx, -(jj - cy) / fy,
+                                 -np.ones_like(ii)], -1)
+                dirs = (dcam.reshape(-1, 3) @ np.asarray(pose)[:3, :3].T
+                        ).reshape(Cp, Cp, 3).astype(np.float32)
+                out = self._s1_eval_fn(params, self.mesh_v, self.mesh_f,
+                                       jnp.asarray(mvp),
+                                       jnp.asarray([y0, x0]),
+                                       jnp.asarray(dirs), bg)
+                h = min(Cp, H - y0); w = min(Cp, W - x0)
+                image[y0:y0+h, x0:x0+w] = np.asarray(out["image"])[:h, :w]
+                depth[y0:y0+h, x0:x0+w] = np.asarray(out["depth"])[:h, :w]
+                wsum[y0:y0+h, x0:x0+w] = np.asarray(out["weights_sum"])[:h, :w]
+        return {"image": image, "depth": depth, "weights_sum": wsum}
+
     def test_video(self, dataset: Dataset, name: str = "test",
                    fps: int = 24) -> Optional[str]:
         """Render the test trajectory and write an mp4 (utils.py:997-1006)."""
         frames = []
         for i in range(dataset.num_frames):
-            out = self.render_image(dataset.poses[i], dataset.intrinsics,
-                                    dataset.H, dataset.W)
+            if self.cfg.stage > 0:
+                out = self.render_image_stage1(
+                    dataset.poses[i], dataset.mvps[i], dataset.intrinsics,
+                    dataset.H, dataset.W)
+            else:
+                out = self.render_image(dataset.poses[i], dataset.intrinsics,
+                                        dataset.H, dataset.W)
             frames.append((np.clip(out["image"], 0, 1) * 255).astype(np.uint8))
         path = os.path.join(self.workspace, f"{name}_rgb.mp4")
         try:
@@ -536,6 +816,13 @@ class Trainer:
             self.log(f"[WARN] mp4 writer unavailable ({e}); wrote {path}")
         self.log(f"[INFO] wrote test video: {path}")
         return path
+
+    def export_stage1(self, resolution: int = 4096):
+        """Web-renderer package: OBJ + baked textures + mlp.json
+        (renderer.py:297-468)."""
+        from ..meshing.export import export_stage1_package
+        out_dir = os.path.join(self.workspace, "mesh_stage1")
+        export_stage1_package(self, out_dir, h0=resolution, w0=resolution)
 
     def save_mesh(self, resolution: int = 512, decimate_target: float = 3e5,
                   dataset: Optional[Dataset] = None):

@@ -50,6 +50,11 @@ class Dataset:
     def num_frames(self) -> int:
         return self.poses.shape[0]
 
+    def intrinsics_for(self, i: int) -> np.ndarray:
+        """Per-frame (fx, fy, cx, cy); intrinsics may be [4] or [N, 4]."""
+        intr = np.asarray(self.intrinsics)
+        return intr[i] if intr.ndim == 2 else intr
+
     @property
     def has_gt(self) -> bool:
         return self.images is not None

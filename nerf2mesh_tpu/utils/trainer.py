@@ -170,23 +170,56 @@ class Trainer:
 
     def _loss_and_metrics(self, params, render, key, images_u8, poses,
                           intrinsics, cam_near_far, dyn: StepDynamics,
-                          num_rays: int):
-        """Pure per-shard loss (images replicated, rays sampled per shard)."""
+                          num_rays: int, depth_data=None):
+        """Pure per-shard loss (images replicated, rays sampled per shard).
+
+        depth_data: optional dict with either
+          dense [B, H, W] calibrated depth maps, or
+          sparse (coords [B, R] flat pixel ids, depth [B, R], weight [B, R],
+                  valid [B, R]) padded per image (colmap supervision,
+          colmap_provider.py:505-522).
+        """
         cfg, rspec, nspec = self.cfg, self.render_spec, self.net_spec
         B, H, W, C = images_u8.shape
-        k_img, k_pix, k_bg, k_march = jax.random.split(key, 4)
+        k_img, k_pix, k_bg, k_march, k_sd = jax.random.split(key, 5)
 
         img_idx = jax.random.randint(k_img, (num_rays,), 0, B)
         if not cfg.random_image_batch:
             img_idx = jnp.broadcast_to(img_idx[:1], (num_rays,))
         pix_idx = jax.random.randint(k_pix, (num_rays,), 0, H * W)
 
-        rays = get_rays(jnp.take(poses, img_idx, axis=0),
-                        (intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]),
-                        H, W, pix_idx)
+        gt_depth = None
+        gt_depth_w = None
+        if depth_data is not None and "sparse" in depth_data:
+            # 10% of batches train on sparse-depth pixel coords of one image
+            sc, sd, sw, sv = depth_data["sparse"]
+            use_sd = jax.random.uniform(k_sd, ()) > 0.9
+            one = img_idx[:1]
+            R = sc.shape[1]
+            reps = (num_rays + R - 1) // R
+            coords = jnp.tile(sc[one[0]], reps)[:num_rays]
+            img_idx = jnp.where(use_sd, jnp.broadcast_to(one, (num_rays,)),
+                                img_idx)
+            pix_idx = jnp.where(use_sd, coords, pix_idx)
+            gt_depth = jnp.where(use_sd, jnp.tile(sd[one[0]], reps)[:num_rays], 0.0)
+            gt_depth_w = jnp.where(
+                use_sd,
+                jnp.tile((sw * sv)[one[0]], reps)[:num_rays], 0.0)
+
+        if intrinsics.ndim == 2:
+            per_ray = jnp.take(intrinsics, img_idx, axis=0)     # [N, 4]
+            intr_t = (per_ray[:, 0], per_ray[:, 1], per_ray[:, 2], per_ray[:, 3])
+        else:
+            intr_t = (intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3])
+
+        rays = get_rays(jnp.take(poses, img_idx, axis=0), intr_t, H, W, pix_idx)
         rays_o, rays_d = rays["rays_o"], rays["rays_d"]
 
         gt_raw = images_u8[img_idx, rays["j"], rays["i"]].astype(jnp.float32) / 255.0
+
+        if depth_data is not None and "dense" in depth_data:
+            gt_depth = depth_data["dense"][img_idx, rays["j"], rays["i"]]
+            gt_depth_w = jnp.ones_like(gt_depth)
 
         if cfg.background == "white":
             bg = jnp.ones((num_rays, 3))
@@ -224,6 +257,12 @@ class Trainer:
             loss_per_ray = loss_per_ray + cfg.lambda_mask * (
                 (out["weights_sum"] - gt_mask[:, 0]) ** 2
             )
+        if gt_depth is not None and cfg.lambda_depth > 0:
+            # depth loss with 1k-step ramp (utils.py:685-705)
+            lam = cfg.lambda_depth * dyn.lambda_depth_ramp
+            dmask = (gt_depth > 0).astype(jnp.float32) * gt_depth_w
+            loss_per_ray = loss_per_ray + lam * dmask * (
+                (out["depth"] - gt_depth) ** 2)
         loss = jnp.mean(loss_per_ray)
 
         if cfg.lambda_entropy > 0:
@@ -273,7 +312,7 @@ class Trainer:
         mesh = self.mesh
 
         def step_fn(state: TrainState, images_u8, poses, intrinsics,
-                    cam_near_far, dyn: StepDynamics):
+                    cam_near_far, dyn: StepDynamics, depth_data=None):
             key, skey = jax.random.split(state.key)
 
             if mesh is not None:
@@ -286,7 +325,8 @@ class Trainer:
                                intrinsics, cnf, dyn_):
                     loss, metrics = self._loss_and_metrics(
                         params, render, keys[0], images_u8, poses, intrinsics,
-                        cnf if has_cnf else None, dyn_, per_shard)
+                        cnf if has_cnf else None, dyn_, per_shard,
+                        depth_data=depth_data)
                     # reduce over the data axis so outputs are replicated
                     loss = jax.lax.pmean(loss, "data")
                     metrics = {
@@ -314,7 +354,8 @@ class Trainer:
                 def loss_fn(params):
                     return self._loss_and_metrics(
                         params, state.render, skey, images_u8, poses,
-                        intrinsics, cam_near_far, dyn, num_rays)
+                        intrinsics, cam_near_far, dyn, num_rays,
+                        depth_data=depth_data)
 
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params)
@@ -343,7 +384,7 @@ class Trainer:
     # -------------------------------------------------------------- train loop
     def mark_untrained(self, dataset: Dataset):
         self.state = self.state._replace(render=mark_untrained_grid(
-            self.state.render, dataset.poses, dataset.intrinsics,
+            self.state.render, dataset.poses, dataset.intrinsics_for(0),
             self.render_spec, aabb=self._aabb,
             cam_near_far=dataset.cam_near_far))
 
@@ -398,7 +439,28 @@ class Trainer:
         poses = jnp.asarray(dataset.poses)
         intrinsics = jnp.asarray(dataset.intrinsics)
         cam_near_far = (jnp.asarray(dataset.cam_near_far)
-                        if dataset.cam_near_far is not None else None)
+                        if dataset.cam_near_far is not None
+                        and cfg.enable_cam_near_far else None)
+
+        # depth supervision data (colmap), padded to static shapes
+        depth_data = None
+        if getattr(dataset, "dense_depth", None) is not None:
+            depth_data = {"dense": jnp.asarray(dataset.dense_depth)}
+        elif getattr(dataset, "sparse_depth", None) is not None:
+            R = max(len(s[0]) for s in dataset.sparse_depth)
+            B = len(dataset.sparse_depth)
+            sc = np.zeros((B, R), np.int32)
+            sd = np.zeros((B, R), np.float32)
+            sw = np.zeros((B, R), np.float32)
+            sv = np.zeros((B, R), np.float32)
+            for i, (xy, d, w) in enumerate(dataset.sparse_depth):
+                m = len(xy)
+                sc[i, :m] = xy[:, 0] * dataset.W + xy[:, 1]
+                sd[i, :m] = d
+                sw[i, :m] = w
+                sv[i, :m] = 1.0
+            depth_data = {"sparse": (jnp.asarray(sc), jnp.asarray(sd),
+                                     jnp.asarray(sw), jnp.asarray(sv))}
 
         eval_interval = max(1, steps // max(cfg.n_eval, 1))
         save_interval = max(1, steps // max(cfg.n_ckpt, 1))
@@ -414,7 +476,7 @@ class Trainer:
             fn = self.step_fn_for(nr)
             self.state, last_metrics = fn(
                 self.state, images, poses, intrinsics, cam_near_far,
-                self.dynamics(step))
+                self.dynamics(step), depth_data)
 
             if cfg.adaptive_num_rays and (step + 1) % cfg.update_extra_interval == 0:
                 npts = int(last_metrics["num_points"])
@@ -511,10 +573,11 @@ class Trainer:
         for i in range(B):
             if stage1:
                 out = self.render_image_stage1(
-                    dataset.poses[i], dataset.mvps[i], dataset.intrinsics,
-                    dataset.H, dataset.W)
+                    dataset.poses[i], dataset.mvps[i],
+                    dataset.intrinsics_for(i), dataset.H, dataset.W)
             else:
-                out = self.render_image(dataset.poses[i], dataset.intrinsics,
+                out = self.render_image(dataset.poses[i],
+                                        dataset.intrinsics_for(i),
                                         dataset.H, dataset.W)
             pred = out["image"]
             if dataset.images is not None:
@@ -543,7 +606,7 @@ class Trainer:
         # subdivision cap so projected bboxes fit the fragment block:
         # screen_px ~ edge * fl / z; use z ~ 1, keep edge <= frag * z / fl
         self._s1_crop = int(min(128, dataset.H, dataset.W))
-        fl = float(dataset.intrinsics[0])
+        fl = float(dataset.intrinsics_for(0)[0])
         max_edge = self._raster_spec().frag * 0.8 / fl
         self.stage1_mesh = load_stage1_mesh(
             self.workspace, self.render_spec.cascades, mesh_path=self.cfg.mesh,
@@ -799,10 +862,11 @@ class Trainer:
         for i in range(dataset.num_frames):
             if self.cfg.stage > 0:
                 out = self.render_image_stage1(
-                    dataset.poses[i], dataset.mvps[i], dataset.intrinsics,
-                    dataset.H, dataset.W)
+                    dataset.poses[i], dataset.mvps[i],
+                    dataset.intrinsics_for(i), dataset.H, dataset.W)
             else:
-                out = self.render_image(dataset.poses[i], dataset.intrinsics,
+                out = self.render_image(dataset.poses[i],
+                                        dataset.intrinsics_for(i),
                                         dataset.H, dataset.W)
             frames.append((np.clip(out["image"], 0, 1) * 255).astype(np.uint8))
         path = os.path.join(self.workspace, f"{name}_rgb.mp4")

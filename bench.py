@@ -25,8 +25,8 @@ import time
 BASELINE_RAYS_PER_SEC = 2.0e5
 
 NUM_RAYS = 4096
-WARMUP_STEPS = 48
-BENCH_STEPS = 96
+WARMUP_STEPS = 8
+BENCH_STEPS = 24
 
 
 def main():

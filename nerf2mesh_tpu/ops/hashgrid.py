@@ -200,7 +200,9 @@ def hashgrid_encode(
         axis=-1,
     ).reshape(N, L * n_cor)                                           # [N, L*8]
 
-    # corner-reduction matrix: R[l*8+c, l] = 1
+    # per-channel 1-D gathers + MXU corner-reduction.  (A per-level gather of
+    # multi-channel rows was tried and is SLOWER on this backend: the [rows, C]
+    # output is tile-padded to [rows, 128], and the padded writes dominate.)
     R = np.zeros((L * n_cor, L), np.float32)
     for l in range(L):
         R[l * n_cor:(l + 1) * n_cor, l] = 1.0

@@ -290,9 +290,14 @@ class Trainer:
             loss = loss + cfg.lambda_eikonal * jnp.sum(eik) / n_valid
 
         if cfg.lambda_tv > 0:
-            x01 = (out["xyzs"] + nspec.bound) / (2 * nspec.bound)
-            inner = jnp.max(jnp.abs(out["xyzs"]), axis=-1) <= 1.0
-            pw = jnp.where(out["valid"],
+            # subsample points for TV: the full set costs ~P*L*4 table gathers
+            # for a 1e-8-weight regularizer (reference queries all points,
+            # utils.py:801-823; a random subsample is an unbiased estimate)
+            n_tv = min(16384, out["xyzs"].shape[0])
+            xyz_tv = out["xyzs"][:n_tv]
+            x01 = (xyz_tv + nspec.bound) / (2 * nspec.bound)
+            inner = jnp.max(jnp.abs(xyz_tv), axis=-1) <= 1.0
+            pw = jnp.where(out["valid"][:n_tv],
                            jnp.where(inner, 1.0, 10.0), 0.0)
             table = params["sigma_table"] if nspec.separate_tables else params["table"]
             tv = hashgrid_tv_loss(table, x01, nspec.density_grid_spec, pw)
@@ -392,13 +397,19 @@ class Trainer:
         from ..models.renderer import GRID_UPDATE_SLABS
         key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed ^ 0x5EED), step)
         dyn = self.dynamics(step)
-        # first update refreshes the full grid; later ones rotate one slab
+        # first update refreshes the full grid (all slabs); later ones rotate
+        # one slab per call (memory stays bounded at H^3/8 queries per jit)
         n_update = step // max(self.cfg.update_extra_interval, 1)
-        slab = -1 if n_update == 0 else (n_update - 1) % GRID_UPDATE_SLABS
-        new_render = update_density_grid(
-            self.state.params, self.state.render, key, self.render_spec,
-            self.net_spec, dyn.max_level, slab=slab)
-        self.state = self.state._replace(render=new_render)
+        if n_update == 0:
+            slabs = range(GRID_UPDATE_SLABS)
+        else:
+            slabs = [(n_update - 1) % GRID_UPDATE_SLABS]
+        render = self.state.render
+        for i, slab in enumerate(slabs):
+            render = update_density_grid(
+                self.state.params, render, jax.random.fold_in(key, i),
+                self.render_spec, self.net_spec, dyn.max_level, slab=slab)
+        self.state = self.state._replace(render=render)
 
     @staticmethod
     def _bucket(n: int, lo: int = 1024, hi: int = 16384) -> int:

@@ -216,6 +216,9 @@ class Trainer:
         rays_o, rays_d = rays["rays_o"], rays["rays_d"]
 
         gt_raw = images_u8[img_idx, rays["j"], rays["i"]].astype(jnp.float32) / 255.0
+        if cfg.color_space == "linear":
+            from ..data.rays import srgb_to_linear
+            gt_raw = gt_raw.at[:, :3].set(srgb_to_linear(gt_raw[:, :3]))
 
         if depth_data is not None and "dense" in depth_data:
             gt_depth = depth_data["dense"][img_idx, rays["j"], rays["i"]]

@@ -1,0 +1,152 @@
+"""Interactive viewer — browser-based analog of the reference GUI
+(nerf/gui.py NeRFGUI).
+
+The reference uses DearPyGui with an orbit camera, a 200 ms/frame render
+budget met by dynamic resolution scaling, and live-adjustable render options
+(gui.py:106-163, 329-366).  This serves the same interaction over HTTP with a
+zero-dependency frontend: drag to orbit, wheel to zoom; the server renders
+frames with the current checkpoint (stage 0 volumetric or stage 1 raster) and
+halves/raises resolution to hit the latency budget.
+
+Usage:
+    python -m nerf2mesh_tpu.viewer <data_or_workspace_args like main.py>
+then open http://localhost:7007/.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+_PAGE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>nerf2mesh-tpu live viewer</title>
+<style>body{margin:0;background:#111;color:#ccc;font-family:monospace}
+#img{width:100vw;height:100vh;object-fit:contain;image-rendering:pixelated}
+#hud{position:fixed;top:8px;left:8px}</style></head>
+<body><div id="hud">drag orbit / wheel zoom</div><img id="img"/>
+<script>
+let theta=1.2, phi=0.5, radius=2.5, busy=false, pending=false;
+const img=document.getElementById('img'), hud=document.getElementById('hud');
+async function refresh(){
+  if(busy){pending=true;return} busy=true;
+  const t0=performance.now();
+  const r=await fetch(`/render?theta=${theta}&phi=${phi}&radius=${radius}`);
+  const blob=await r.blob();
+  img.src=URL.createObjectURL(blob);
+  hud.textContent=`theta=${theta.toFixed(2)} phi=${phi.toFixed(2)} r=${radius.toFixed(2)} ${(performance.now()-t0).toFixed(0)}ms`;
+  busy=false; if(pending){pending=false;refresh();}
+}
+let drag=false,px=0,py=0;
+addEventListener('pointerdown',e=>{drag=true;px=e.clientX;py=e.clientY});
+addEventListener('pointerup',()=>drag=false);
+addEventListener('pointermove',e=>{if(!drag)return;
+  phi-=(e.clientX-px)*0.01;
+  theta=Math.min(3.1,Math.max(0.05,theta-(e.clientY-py)*0.01));
+  px=e.clientX;py=e.clientY;refresh();});
+addEventListener('wheel',e=>{radius*=Math.exp(e.deltaY*0.001);refresh();});
+refresh();
+</script></body></html>"""
+
+
+class ViewerServer:
+    def __init__(self, trainer, dataset, port: int = 7007,
+                 budget_ms: float = 500.0):
+        self.trainer = trainer
+        self.dataset = dataset
+        self.port = port
+        self.budget_ms = budget_ms
+        self.downscale = 4            # dynamic, like gui.py:158-163
+        self.lock = threading.Lock()
+
+    def render_frame(self, theta: float, phi: float, radius: float) -> bytes:
+        from PIL import Image
+
+        from .data.rays import make_mvps, make_projection, orbit_pose
+        ds = self.dataset
+        scale = self.downscale
+        H = max(ds.H // scale, 32)
+        W = max(ds.W // scale, 32)
+        intr = ds.intrinsics_for(0) / scale
+        pose = orbit_pose(theta, phi, radius)
+        t0 = time.time()
+        with self.lock:
+            if self.trainer.cfg.stage > 0:
+                proj = make_projection(H, W, float(intr[1]),
+                                       self.trainer.cfg.min_near)
+                mvp = make_mvps(proj, pose[None])[0]
+                out = self.trainer.render_image_stage1(pose, mvp, intr, H, W)
+            else:
+                out = self.trainer.render_image(pose, intr, H, W)
+        dt_ms = (time.time() - t0) * 1000
+        # dynamic resolution against the frame budget (gui.py:158-163)
+        if dt_ms > self.budget_ms and self.downscale < 16:
+            self.downscale *= 2
+        elif dt_ms < self.budget_ms / 4 and self.downscale > 1:
+            self.downscale //= 2
+        img = (np.clip(out["image"], 0, 1) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "PNG")
+        return buf.getvalue()
+
+    def serve(self):
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                if u.path == "/":
+                    body = _PAGE.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                elif u.path == "/render":
+                    q = parse_qs(u.query)
+                    body = viewer.render_frame(
+                        float(q.get("theta", [1.2])[0]),
+                        float(q.get("phi", [0.5])[0]),
+                        float(q.get("radius", [2.5])[0]))
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/png")
+                else:
+                    self.send_response(404)
+                    body = b""
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        srv = ThreadingHTTPServer(("0.0.0.0", self.port), Handler)
+        print(f"[viewer] http://localhost:{self.port}/")
+        srv.serve_forever()
+
+
+def main(argv=None):
+    from .config import parse_args
+    from .utils.trainer import Trainer
+
+    cfg = parse_args(argv)
+    if cfg.data_format == "colmap":
+        from .data.colmap import load_colmap_dataset as load_dataset
+    elif cfg.data_format == "dtu":
+        from .data.dtu import load_dtu_dataset as load_dataset
+    else:
+        from .data.provider import load_nerf_dataset as load_dataset
+
+    ds = load_dataset(cfg, split="val")
+    trainer = Trainer(cfg)
+    if not trainer.load_checkpoint():
+        print("[viewer] WARNING: no checkpoint found; rendering untrained model")
+    if cfg.stage > 0:
+        trainer.setup_stage1(ds)
+    ViewerServer(trainer, ds).serve()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,11 @@
+#!/bin/bash
+# nerf-synthetic suite, NeRF mode (parity: reference scripts/runall_syn.sh
+# hyperparameters: bound 1, scale 0.8, dt_gamma 0, two stages + web export)
+set -e
+DATA_ROOT=${DATA_ROOT:-data/nerf_synthetic}
+for scene in lego chair drums ficus hotdog materials mic ship; do
+  python -m nerf2mesh_tpu.main "$DATA_ROOT/$scene" -O \
+    --workspace "trial_syn_$scene" --bound 1 --scale 0.8 --dt_gamma 0 --stage 0
+  python -m nerf2mesh_tpu.main "$DATA_ROOT/$scene" -O \
+    --workspace "trial_syn_$scene" --bound 1 --scale 0.8 --dt_gamma 0 --stage 1
+done

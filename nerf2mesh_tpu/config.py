@@ -136,6 +136,12 @@ class Config:
     fovy: float = 50.0
     max_spp: int = 1
 
+    # encoder size (reference network.py:66-71 fixes L=16, hashmap 2^19).
+    # log2_hashmap_size <= 14 activates the Pallas VMEM sweep encoder on TPU
+    # (see ops/pallas_encode.py; large tables use the XLA path).
+    num_levels: int = 16
+    log2_hashmap_size: int = 19
+
     # parallelism (TPU-native; no analog in the reference, which is single-GPU)
     mesh_shape: Tuple[int, ...] = (-1,)   # device mesh; -1 = all local devices
     mesh_axes: Tuple[str, ...] = ("data",)

@@ -104,6 +104,26 @@ def init_network(key: jax.Array, spec: NetworkSpec) -> Params:
     return params
 
 
+def _encode(table, x01, gspec, max_level):
+    """hashgrid encode, routed to the Pallas VMEM-sweep kernel on TPU when the
+    table is small enough (ops/pallas_encode.py); XLA gather path otherwise."""
+    import os
+    from ..ops.pallas_encode import sweep_encode, sweep_supported
+    # experimental: correct but currently slower than the XLA path on the
+    # axon backend (per-iteration Mosaic overhead dominates; see PERF.md).
+    use_sweep = (os.environ.get("NERF2MESH_SWEEP_ENCODER") == "1"
+                 and sweep_supported(gspec)
+                 and jax.default_backend() not in ("cpu",))
+    if use_sweep:
+        h = sweep_encode(table, x01, gspec)
+        if max_level is not None:
+            L, C = gspec.num_levels, gspec.level_dim
+            mask = (jnp.arange(L) < max_level)[None, :, None]
+            h = (h.reshape(-1, L, C) * mask).reshape(-1, L * C)
+        return h
+    return hashgrid_encode(table, x01, gspec, max_level)
+
+
 def encode_fields(params: Params, x01: jax.Array, spec: NetworkSpec,
                   max_level: Optional[jax.Array] = None):
     """One pass over the hash table(s) -> (density feats [N,L], color feats
@@ -111,12 +131,10 @@ def encode_fields(params: Params, x01: jax.Array, spec: NetworkSpec,
     traffic (the TPU bottleneck) is paid once for both fields."""
     L = spec.num_levels
     if spec.separate_tables:
-        hd = hashgrid_encode(params["sigma_table"], x01,
-                             spec.density_grid_spec, max_level)
-        hc = hashgrid_encode(params["color_table"], x01,
-                             spec.color_grid_spec, max_level)
+        hd = _encode(params["sigma_table"], x01, spec.density_grid_spec, max_level)
+        hc = _encode(params["color_table"], x01, spec.color_grid_spec, max_level)
         return hd, hc
-    h = hashgrid_encode(params["table"], x01, spec.density_grid_spec, max_level)
+    h = _encode(params["table"], x01, spec.density_grid_spec, max_level)
     h = h.reshape(x01.shape[0], L, 3)
     return h[:, :, 0], h[:, :, 1:].reshape(x01.shape[0], 2 * L)
 

@@ -273,7 +273,11 @@ def render_train(
         max_steps=spec.max_steps, perturb=perturb, noise_key=key,
     )
     K = spec.num_fine
-    pts = m.xyzs.reshape(N * K, 3)
+    # sample positions are non-differentiable leaves (the reference's marched
+    # xyzs have requires_grad=False, renderer.py:711); without stop_gradient
+    # JAX would build dead-but-executed cotangent chains through the sampler
+    # and the encoder's expensive d/dx path.
+    pts = jax.lax.stop_gradient(m.xyzs.reshape(N * K, 3))
 
     dirs = safe_normalize(rays_d)                            # [N, 3]
     dirs_flat = jnp.broadcast_to(dirs[:, None, :], (N, K, 3)).reshape(N * K, 3)

@@ -222,9 +222,10 @@ def hashgrid_encode(
     return feat.reshape(N, L * C)
 
 
-@partial(jax.jit, static_argnames=("spec",))
+@partial(jax.jit, static_argnames=("spec", "channel"))
 def hashgrid_tv_loss(table: jax.Array, x01: jax.Array, spec: HashGridSpec,
-                     point_weight: Optional[jax.Array] = None) -> jax.Array:
+                     point_weight: Optional[jax.Array] = None,
+                     channel: Optional[int] = 0) -> jax.Array:
     """Total-variation loss at sampled locations.
 
     The reference injects, for each sampled point's cell corner and each axis d,
@@ -245,14 +246,19 @@ def hashgrid_tv_loss(table: jax.Array, x01: jax.Array, spec: HashGridSpec,
     shift = 0.0 if spec.align_corners else 0.5
     pos_grid = jnp.floor(x01[:, None, :] * scales[None, :, None] + shift).astype(jnp.uint32)
 
+    # the reference applies TV only to the DENSITY encoder (utils.py:801-823);
+    # with the merged table that is channel 0.  channel=None diffs all C.
+    channels = range(C) if channel is None else [channel]
+
     base_idx = _corner_indices(pos_grid[:, :, None, :], spec)[..., 0]   # [N, L]
-    v0 = jnp.take(table, base_idx.reshape(-1), axis=0).reshape(N, L, C)
     loss = jnp.zeros((), dtype=jnp.float32)
     eye = np.eye(D, dtype=np.uint32)
-    for d in range(D):
-        nb = pos_grid + jnp.asarray(eye[d])[None, None, :]
-        nb_idx = _corner_indices(nb[:, :, None, :], spec)[..., 0]
-        v1 = jnp.take(table, nb_idx.reshape(-1), axis=0).reshape(N, L, C)
-        diff = (v0 - v1)
-        loss = loss + jnp.sum(diff * diff * inb[:, None, None])
+    for c in channels:
+        flat = lambda i: jnp.take(table[:, c], i.reshape(-1), axis=0).reshape(N, L)
+        v0 = flat(base_idx)
+        for d in range(D):
+            nb = pos_grid + jnp.asarray(eye[d])[None, None, :]
+            nb_idx = _corner_indices(nb[:, :, None, :], spec)[..., 0]
+            diff = v0 - flat(nb_idx)
+            loss = loss + jnp.sum(diff * diff * inb[:, None])
     return loss / jnp.maximum(N, 1)

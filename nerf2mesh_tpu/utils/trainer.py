@@ -110,6 +110,8 @@ class Trainer:
         self.net_spec = NetworkSpec(
             bound=cfg.grid_bound, sdf=cfg.sdf, ind_dim=cfg.ind_dim,
             ind_num=cfg.ind_num, fp16=cfg.fp16,
+            num_levels=cfg.num_levels,
+            log2_hashmap_size=cfg.log2_hashmap_size,
         )
         self.render_spec = RenderSpec(
             bound=cfg.bound, contract=cfg.contract, grid_size=cfg.grid_size,

@@ -188,7 +188,21 @@ class Trainer:
         img_idx = jax.random.randint(k_img, (num_rays,), 0, B)
         if not cfg.random_image_batch:
             img_idx = jnp.broadcast_to(img_idx[:1], (num_rays,))
-        pix_idx = jax.random.randint(k_pix, (num_rays,), 0, H * W)
+        if cfg.patch_size > 1:
+            # patch-aligned sampling within one image (utils.py:254-271):
+            # random top-left corners, expanded to ps x ps pixel blocks.
+            ps = cfg.patch_size
+            np_ = num_rays // (ps * ps)
+            img_idx = jnp.broadcast_to(img_idx[:1], (num_rays,))
+            ky, kx = jax.random.split(k_pix)
+            y0 = jax.random.randint(ky, (np_,), 0, H - ps)
+            x0 = jax.random.randint(kx, (np_,), 0, W - ps)
+            dy = jnp.arange(ps)
+            oy, ox = jnp.meshgrid(dy, dy, indexing="ij")
+            off = oy.reshape(-1)[None, :] * W + ox.reshape(-1)[None, :]
+            pix_idx = ((y0[:, None] * W + x0[:, None]) + off).reshape(-1)
+        else:
+            pix_idx = jax.random.randint(k_pix, (num_rays,), 0, H * W)
 
         gt_depth = None
         gt_depth_w = None
@@ -451,6 +465,15 @@ class Trainer:
         if cfg.mark_untrained:
             self.mark_untrained(dataset)
 
+        # profiling hook (SURVEY.md §5.1): NERF2MESH_PROFILE=<dir> captures a
+        # jax.profiler trace of a slice of training for xprof/tensorboard.
+        prof_dir = os.environ.get("NERF2MESH_PROFILE")
+        if prof_dir:
+            jax.profiler.start_trace(prof_dir)
+            self._prof_stop_at = int(self.state.step) + 32
+        else:
+            self._prof_stop_at = None
+
         images = jnp.asarray(dataset.images)
         poses = jnp.asarray(dataset.poses)
         intrinsics = jnp.asarray(dataset.intrinsics)
@@ -494,6 +517,12 @@ class Trainer:
                 self.state, images, poses, intrinsics, cam_near_far,
                 self.dynamics(step), depth_data)
 
+            if self._prof_stop_at is not None and step >= self._prof_stop_at:
+                jax.block_until_ready(last_metrics["loss"])
+                jax.profiler.stop_trace()
+                self.log("[INFO] wrote profiler trace")
+                self._prof_stop_at = None
+
             if cfg.adaptive_num_rays and (step + 1) % cfg.update_extra_interval == 0:
                 npts = int(last_metrics["num_points"])
                 if npts > 0:
@@ -505,6 +534,10 @@ class Trainer:
                     f"[step {step+1}/{steps}] loss={m['loss']:.6f} "
                     f"psnr={m['psnr']:.2f} points={int(m['num_points'])} "
                     f"rays={nr} {(time.time()-t0):.1f}s")
+                self.log_scalars({"train/loss": m["loss"],
+                                  "train/psnr": m["psnr"],
+                                  "train/num_points": m["num_points"],
+                                  "train/num_rays": nr})
 
             if valid_dataset is not None and (step + 1) % eval_interval == 0:
                 self.evaluate(valid_dataset, name=f"step{step+1}")
@@ -604,14 +637,42 @@ class Trainer:
                     m.update(pred, gt)
             if write_images:
                 from PIL import Image
+                vdir = os.path.join(self.workspace, "validation")
                 Image.fromarray((np.clip(pred, 0, 1) * 255).astype(np.uint8)).save(
-                    os.path.join(self.workspace, "validation",
-                                 f"{name}_{i:04d}.png"))
+                    os.path.join(vdir, f"{name}_{i:04d}_rgb.png"))
+                # depth + |error| maps (reference utils.py:1293-1317)
+                d = out["depth"]
+                dn = (d - d.min()) / max(float(d.max() - d.min()), 1e-9)
+                Image.fromarray((dn * 255).astype(np.uint8)).save(
+                    os.path.join(vdir, f"{name}_{i:04d}_depth.png"))
+                if dataset.images is not None:
+                    err = np.abs(pred - gt).mean(-1)
+                    Image.fromarray(
+                        (np.clip(err * 4, 0, 1) * 255).astype(np.uint8)).save(
+                        os.path.join(vdir, f"{name}_{i:04d}_error.png"))
         results = {m.name: m.measure() for m in self.metrics if m.N > 0}
         self.log(f"[eval {name}] " + " ".join(
             f"{k}={v:.4f}" for k, v in results.items()))
         self.stats["results"].append(results)
+        self.log_scalars({"eval/" + k: v for k, v in results.items()})
+
+        # track best checkpoint by the first metric (reference
+        # utils.py:1383-1403 keeps a best ckpt with EMA weights)
+        if results:
+            first = list(results.values())[0]
+            if self.stats["best"] is None or first > self.stats["best"]:
+                self.stats["best"] = first
+                self.save_checkpoint(tag="best")
+                self.log(f"[INFO] new best checkpoint ({first:.4f})")
         return results
+
+    def log_scalars(self, scalars: Dict[str, float]):
+        """Scalar observability stream: workspace/metrics.jsonl, one JSON
+        object per event (tensorboardX analog, utils.py:920-921)."""
+        rec = {"step": int(self.state.step)}
+        rec.update({k: float(v) for k, v in scalars.items()})
+        with open(os.path.join(self.workspace, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
     # ------------------------------------------------------------- stage 1
     def setup_stage1(self, dataset: Dataset):
@@ -940,7 +1001,7 @@ class Trainer:
         cks = sorted(
             p for p in os.listdir(cdir)
             if p.startswith(f"ngp_stage{self.cfg.stage}") and
-            "latest" not in p and p.endswith(".ckpt"))
+            "latest" not in p and "best" not in p and p.endswith(".ckpt"))
         for p in cks[:-2]:
             os.remove(os.path.join(cdir, p))
 

@@ -1,0 +1,85 @@
+"""End-to-end smoke tests (SURVEY.md §4c): tiny synthetic scene, both stages,
+mesh export.  Sized to run in a couple of minutes on the CPU test mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nerf2mesh_tpu.config import parse_args
+
+
+@pytest.fixture(scope="module")
+def scene_root(tmp_path_factory):
+    from nerf2mesh_tpu.data.synthetic import generate_synthetic_dataset
+    root = str(tmp_path_factory.mktemp("e2e_scene"))
+    generate_synthetic_dataset(root, H=48, W=48, n_train=10, n_val=2, n_test=2)
+    return root
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("e2e_ws"))
+
+
+def _cfg(scene_root, workspace, extra=()):
+    return parse_args([
+        scene_root, "--workspace", workspace, "--bound", "1", "--scale", "0.8",
+        "--dt_gamma", "0", "--num_rays", "512", "--num_points", "16384",
+        "--samples_per_ray", "32", "--max_steps", "64", "--grid_size", "16",
+        "--diffuse_step", "30", "--random_image_batch",
+        "--n_eval", "1", "--n_ckpt", "1", *extra])
+
+
+@pytest.mark.slow
+def test_stage0_trains_and_exports(scene_root, workspace):
+    from nerf2mesh_tpu.data.provider import load_nerf_dataset
+    from nerf2mesh_tpu.meshing.io import read_ply
+    from nerf2mesh_tpu.utils.trainer import Trainer
+
+    cfg = _cfg(scene_root, workspace, ["--iters", "300"])
+    ds = load_nerf_dataset(cfg, "train")
+    t = Trainer(cfg)
+    m = t.train(ds)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["psnr"]) > 18.0          # learning happened
+
+    assert os.path.exists(os.path.join(
+        workspace, "checkpoints", "ngp_stage0_latest.ckpt"))
+
+    t.save_mesh(resolution=48, decimate_target=5000)
+    v, f = read_ply(os.path.join(workspace, "mesh_stage0", "mesh_0.ply"))
+    assert len(v) > 10 and len(f) > 10
+    assert np.abs(v).max() <= 1.0 + 1e-5
+
+
+@pytest.mark.slow
+def test_stage1_trains_on_stage0(scene_root, workspace):
+    from nerf2mesh_tpu.data.provider import load_nerf_dataset
+    from nerf2mesh_tpu.utils.trainer import Trainer
+
+    cfg = _cfg(scene_root, workspace, ["--iters", "20", "--stage", "1"])
+    ds = load_nerf_dataset(cfg, "train")
+    t = Trainer(cfg)
+    assert t.load_checkpoint(stage=0)       # stage handoff
+    t.setup_stage1(ds)
+    m = t.train_stage1(ds)
+    assert np.isfinite(float(m["loss"]))
+    # offsets got gradients
+    off = np.asarray(t.state.params["vertices_offsets"])
+    assert np.abs(off).max() > 0
+
+
+@pytest.mark.slow
+def test_checkpoint_resume(scene_root, workspace):
+    from nerf2mesh_tpu.data.provider import load_nerf_dataset
+    from nerf2mesh_tpu.utils.trainer import Trainer
+
+    cfg = _cfg(scene_root, workspace, ["--iters", "310"])
+    ds = load_nerf_dataset(cfg, "train")
+    t = Trainer(cfg)
+    assert t.load_checkpoint()
+    start = int(t.state.step)
+    assert start >= 300
+    t.train(ds)                             # continues to 310
+    assert int(t.state.step) == 310

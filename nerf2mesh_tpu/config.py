@@ -30,6 +30,10 @@ class Config:
     progressive_level: bool = False
 
     # testing
+    tcnn: bool = False           # accepted for CLI compat; the TPU hashgrid
+                                 # is always the native implementation
+    criterion: str = "mse"       # mse | mape | huber (reference main.py:187)
+
     test: bool = False
     test_no_video: bool = False
     test_no_mesh: bool = False

@@ -20,13 +20,13 @@ from __future__ import annotations
 
 import os
 import random
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
 from ..config import Config
 from .provider import Dataset, _slerp
-from .rays import make_mvps, make_projection
+from .rays import make_projection
 
 
 def rotmat_between(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..config import Config
 from .provider import Dataset, _slerp
-from .rays import make_mvps, make_projection, nerf_matrix_to_ngp
+from .rays import make_projection, nerf_matrix_to_ngp
 
 
 def decompose_projection(P: np.ndarray):

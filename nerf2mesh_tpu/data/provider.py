@@ -19,7 +19,7 @@ import glob
 import json
 import os
 from dataclasses import dataclass
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

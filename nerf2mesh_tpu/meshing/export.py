@@ -11,7 +11,6 @@ contracted SDF surface, carved around the inner region (renderer.py:546-672).
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 import jax

@@ -5,7 +5,6 @@ OBJ+MTL writer used by the stage-1 web export (renderer.py:409-439)."""
 from __future__ import annotations
 
 import os
-import struct
 from typing import Tuple
 
 import numpy as np

@@ -29,7 +29,7 @@ import numpy as np
 from ..ops.composite import composite_rays
 from ..ops.sampling import near_far_from_aabb, sample_rays
 from .network import (NetworkSpec, density, field_forward, finite_diff_normal,
-                      rgb, rgb_train)
+                      rgb)
 from ..data.rays import safe_normalize
 
 

@@ -10,7 +10,7 @@ here for a weight-free perceptual-ish signal.
 
 from __future__ import annotations
 
-from typing import List, Optional
+
 
 import numpy as np
 

@@ -20,14 +20,13 @@ import os
 import pickle
 import time
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import Config
 from ..data.provider import Dataset
@@ -269,8 +268,11 @@ class Trainer:
             aabb=jnp.asarray(self._aabb),
         )
 
+        from .losses import CRITERIA
+        criterion = CRITERIA[cfg.criterion]
         pred_rgb = out["image"]
-        loss_per_ray = cfg.lambda_rgb * jnp.mean((pred_rgb - gt_rgb) ** 2, axis=-1)
+        loss_per_ray = cfg.lambda_rgb * jnp.mean(criterion(pred_rgb, gt_rgb),
+                                                 axis=-1)
 
         if gt_mask is not None and cfg.lambda_mask > 0:
             loss_per_ray = loss_per_ray + cfg.lambda_mask * (
@@ -678,7 +680,7 @@ class Trainer:
     def setup_stage1(self, dataset: Dataset):
         """Load cascade meshes, create offset params, rebuild optimizer
         (renderer.py:121-165; utils.py:587-589 stage handoff)."""
-        from ..models.stage1 import Stage1Mesh, init_offsets, load_stage1_mesh
+        from ..models.stage1 import load_stage1_mesh
 
         # subdivision cap so projected bboxes fit the fragment block:
         # screen_px ~ edge * fl / z; use z ~ 1, keep edge <= frag * z / fl
@@ -951,10 +953,18 @@ class Trainer:
             import imageio
             imageio.mimwrite(path, frames, fps=fps, quality=8,
                              macro_block_size=1)
-        except Exception as e:  # pragma: no cover - codec availability
-            path = os.path.join(self.workspace, f"{name}_frames.npz")
-            np.savez_compressed(path, frames=np.stack(frames))
-            self.log(f"[WARN] mp4 writer unavailable ({e}); wrote {path}")
+        except Exception:  # pragma: no cover - codec availability
+            try:
+                from PIL import Image
+                path = os.path.join(self.workspace, f"{name}_rgb.gif")
+                ims = [Image.fromarray(f) for f in frames]
+                ims[0].save(path, save_all=True, append_images=ims[1:],
+                            duration=int(1000 / fps), loop=0)
+                self.log("[WARN] no mp4 codec; wrote GIF instead")
+            except Exception as e:
+                path = os.path.join(self.workspace, f"{name}_frames.npz")
+                np.savez_compressed(path, frames=np.stack(frames))
+                self.log(f"[WARN] video writers unavailable ({e}); wrote {path}")
         self.log(f"[INFO] wrote test video: {path}")
         return path
 

@@ -85,7 +85,7 @@ class Config:
     # place a fixed number of samples per ray by occupancy-importance
     # resampling (ops/sampling.py) — empty space gets no samples, shapes stay
     # static, and no gather/compaction is needed.
-    samples_per_ray: int = 64
+    samples_per_ray: int = 32
 
     # stage-0 regularizations
     lambda_density: float = 0.0

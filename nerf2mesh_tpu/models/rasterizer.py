@@ -144,7 +144,9 @@ def rasterize_crop(
     # signed distance to the nearest edge (screen px) for soft coverage:
     # lambda_i scaled by the corresponding altitude length.
     def edge_dist(l, xa, ya, xb, yb):
-        elen = jnp.sqrt((xb - xa) ** 2 + (yb - ya) ** 2) + 1e-12
+        # eps inside the sqrt: degenerate (zero-length) edges otherwise give
+        # NaN gradients through d(sqrt)/dx at 0
+        elen = jnp.sqrt((xb - xa) ** 2 + (yb - ya) ** 2 + 1e-12)
         return l * jnp.abs(det_safe) / elen                        # ~ px distance
 
     d1 = edge_dist(l1, x2, y2, x3, y3)

@@ -173,12 +173,13 @@ def laplacian_loss(verts: jax.Array, edges: jax.Array,
                    degree: jax.Array) -> jax.Array:
     """Uniform laplacian smoothing: mean || v - mean(neighbors) ||
     (utils.py:190-221 laplacian_smooth_loss)."""
-    V = verts.shape[0]
     acc = jnp.zeros_like(verts)
     acc = acc.at[edges[:, 0]].add(verts[edges[:, 1]])
     acc = acc.at[edges[:, 1]].add(verts[edges[:, 0]])
     lap = verts - acc / degree[:, None]
-    return jnp.mean(jnp.linalg.norm(lap, axis=-1))
+    # eps inside the sqrt: jnp's d|x|/dx is NaN at 0 (offsets start at exactly
+    # zero on flat regions; torch's subgradient there is 0)
+    return jnp.mean(jnp.sqrt(jnp.sum(lap * lap, axis=-1) + 1e-12))
 
 
 def normal_consistency_loss(verts: jax.Array, tris: jax.Array,
@@ -187,7 +188,7 @@ def normal_consistency_loss(verts: jax.Array, tris: jax.Array,
     mesh_normal_consistency analog, utils.py:763)."""
     v0 = verts[tris[:, 0]]
     n = jnp.cross(verts[tris[:, 1]] - v0, verts[tris[:, 2]] - v0)
-    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+    n = n * jax.lax.rsqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-20)
     na = n[face_pairs[:, 0]]
     nb = n[face_pairs[:, 1]]
     return jnp.mean(1.0 - jnp.abs(jnp.sum(na * nb, axis=-1)))

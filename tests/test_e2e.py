@@ -65,8 +65,9 @@ def test_stage1_trains_on_stage0(scene_root, workspace):
     t.setup_stage1(ds)
     m = t.train_stage1(ds)
     assert np.isfinite(float(m["loss"]))
-    # offsets got gradients
+    # offsets got gradients and stayed finite (NaN-at-zero norm regression)
     off = np.asarray(t.state.params["vertices_offsets"])
+    assert np.isfinite(off).all()
     assert np.abs(off).max() > 0
 
 

@@ -86,6 +86,9 @@ class Config:
     # resampling (ops/sampling.py) — empty space gets no samples, shapes stay
     # static, and no gather/compaction is needed.
     samples_per_ray: int = 32
+    # coarse occupancy candidates per ray (pass 1 of the sampler); unbounded
+    # scenes with long [near, far] spans may want 256
+    coarse_per_ray: int = 128
 
     # stage-0 regularizations
     lambda_density: float = 0.0

@@ -115,7 +115,7 @@ class Trainer:
         self.render_spec = RenderSpec(
             bound=cfg.bound, contract=cfg.contract, grid_size=cfg.grid_size,
             min_near=cfg.min_near, density_thresh=cfg.density_thresh,
-            max_steps=cfg.max_steps, num_coarse=128,
+            max_steps=cfg.max_steps, num_coarse=cfg.coarse_per_ray,
             num_fine=cfg.samples_per_ray,
             dt_gamma=cfg.dt_gamma, sdf=cfg.sdf,
         )

@@ -432,9 +432,11 @@ class Trainer:
                 self.render_spec, self.net_spec, dyn.max_level, slab=slab)
         self.state = self.state._replace(render=render)
 
-    @staticmethod
-    def _bucket(n: int, lo: int = 1024, hi: int = 16384) -> int:
-        n = max(lo, min(hi, n))
+    def _bucket(self, n: int, lo: int = 1024, hi: int = 16384) -> int:
+        # cap so rays * samples_per_ray stays within ~2x the point budget —
+        # the encode intermediates at ~500k+ points exceed HBM (PERF.md)
+        cap = max(lo, (2 * self.cfg.num_points) // max(self.cfg.samples_per_ray, 1))
+        n = max(lo, min(hi, min(cap, n)))
         return 1 << int(round(np.log2(n)))
 
     def sdf_pretrain(self, iters: int = 2000, batch_size: int = 8192):
@@ -554,7 +556,7 @@ class Trainer:
     # ------------------------------------------------------------- eval/test
     def render_image(self, pose: np.ndarray, intrinsics: np.ndarray,
                      H: int, W: int, use_ema: bool = True,
-                     chunk: int = 4096, shading: str = "full",
+                     chunk: int = 2048, shading: str = "full",
                      bg_color: float = 1.0) -> Dict[str, np.ndarray]:
         """Full-frame render in fixed-size chunks (eval path).
 

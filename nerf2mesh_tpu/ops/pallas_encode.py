@@ -131,17 +131,18 @@ def _kernel(spec: HashGridSpec, S: int, x_ref, table_ref, out_ref):
         lane = idx & 127
 
         for c in range(C):
-            def block_body(b, acc, l=l, c=c, row=row, lane=lane):
-                # one 1024-entry block = 8 table rows of 128 lanes
-                def row_body(r, acc2):
-                    start = b * 1024 + r * 128
-                    tr = table_ref[l * C + c, pl.ds(start, 128)].reshape(1, 128)
+            # whole level-channel row as a VALUE, statically unrolled sweep:
+            # an in-kernel fori_loop + dynamic-slice variant of this measured
+            # ~1000x slower (per-iteration Mosaic overhead); this form runs at
+            # ~12 us per 128-point tile.
+            tab = table_ref[l * C + c, :].reshape(S // 128, 128)
+            acc = jnp.zeros((8, 128), jnp.float32)
+            for b in range(n_blocks):
+                for r in range(8):
+                    tr = tab[b * 8 + r:b * 8 + r + 1, :]
                     trb = jnp.broadcast_to(tr, (8, 128))
                     got = jnp.take_along_axis(trb, lane, axis=1)
-                    return jnp.where(row == b * 8 + r, got, acc2)
-                return jax.lax.fori_loop(0, 8, row_body, acc)
-            acc = jax.lax.fori_loop(0, n_blocks, block_body,
-                                    jnp.zeros((8, 128), jnp.float32))
+                    acc = jnp.where(row == b * 8 + r, got, acc)
             feat = jnp.sum(w * acc, axis=0, keepdims=True)      # [1, 128]
             feat = jnp.where(oob, 0.0, feat)
             out_ref[l * C + c:l * C + c + 1, :] = feat

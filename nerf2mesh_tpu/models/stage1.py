@@ -130,9 +130,25 @@ def render_stage1_crop(
     contracted: bool = False,
     enable_offset_nerf_grad: bool = False,
     pos_gradient_boost: float = 1.0,
+    ssaa: int = 1,
 ) -> Dict[str, jax.Array]:
-    """One differentiable crop render (renderer.py:816-921)."""
+    """One differentiable crop render (renderer.py:816-921).
+
+    With ssaa > 1, renders at ssaa x supersampled resolution and average-pools
+    the image/depth/alpha back to the crop size (reference renderer.py:825-833
+    trains at H*ssaa and downsamples); `dirs` and `bg_color` must then be
+    supplied at the supersampled resolution, and the returned `trig_id` stays
+    at supersampled resolution for per-face error accumulation.
+    """
+    import dataclasses
+
     Cp = raster_spec.crop
+    s = max(int(ssaa), 1)
+    if s > 1:
+        raster_spec = dataclasses.replace(raster_spec, crop=Cp * s)
+        crop_origin = crop_origin * s
+        H, W = H * s, W * s
+    Cs = Cp * s
     verts = mesh_v + offsets
     clip = transform_clip(verts, mvp)
     if pos_gradient_boost != 1.0:
@@ -152,17 +168,23 @@ def render_stage1_crop(
     flat_x = xyzs.reshape(-1, 3)
     flat_d = d.reshape(-1, 3)
     colors, _ = field_rgb(params, flat_x, flat_d, net_spec, ind_code, shading)
-    rgbs = colors.reshape(Cp, Cp, 3)
+    rgbs = colors.reshape(Cs, Cs, 3)
     rgbs = jnp.where(rast["covered"][..., None], rgbs, 0.0)
 
     alpha = rast["alpha"][..., None]
     image = alpha * rgbs + (1.0 - alpha) * bg_color
     depth = rast["alpha"] * rast["depth"]
+    weights_sum = rast["alpha"]
+
+    if s > 1:
+        image = image.reshape(Cp, s, Cp, s, 3).mean(axis=(1, 3))
+        depth = depth.reshape(Cp, s, Cp, s).mean(axis=(1, 3))
+        weights_sum = weights_sum.reshape(Cp, s, Cp, s).mean(axis=(1, 3))
 
     return {
         "image": image,
         "depth": depth,
-        "weights_sum": rast["alpha"],
+        "weights_sum": weights_sum,
         "trig_id": rast["tri_id"],
     }
 

@@ -688,7 +688,9 @@ class Trainer:
         # screen_px ~ edge * fl / z; use z ~ 1, keep edge <= frag * z / fl
         self._s1_crop = int(min(128, dataset.H, dataset.W))
         fl = float(dataset.intrinsics_for(0)[0])
-        max_edge = self._raster_spec().frag * 0.8 / fl
+        # ssaa multiplies the effective focal length at raster resolution
+        max_edge = self._raster_spec().frag * 0.8 / (
+            fl * max(int(self.cfg.ssaa), 1))
         self.stage1_mesh = load_stage1_mesh(
             self.workspace, self.render_spec.cascades, mesh_path=self.cfg.mesh,
             use_updated=self.cfg.ckpt != "scratch", max_screen_edge=max_edge)
@@ -744,6 +746,10 @@ class Trainer:
             edge_length_loss, laplacian_loss, normal_consistency_loss,
             offsets_loss, render_stage1_crop)
         from ..data.rays import pixel_dirs_cam
+        from .losses import perceptual_loss
+
+        ss = max(int(cfg.ssaa), 1)
+        Cs = Cp * ss  # supersampled crop side (renderer.py:825-833)
 
         def step_fn(state: TrainState, tri_errors, tri_counts, images_u8,
                     poses, mvps, intrinsics, dyn: StepDynamics):
@@ -758,28 +764,34 @@ class Trainer:
                 images_u8, (img_idx, cy0, cx0, 0), (1, Cp, Cp, C)
             )[0].astype(jnp.float32) / 255.0
 
+            # bg at supersampled resolution; GT composites against its pooled
+            # version so render-downsample and GT agree
             if cfg.background == "white":
-                bg = jnp.ones((Cp, Cp, 3))
+                bg = jnp.ones((Cs, Cs, 3))
+                bg_lo = jnp.ones((Cp, Cp, 3))
             else:
-                bg = jax.random.uniform(k_bg, (Cp, Cp, 3))
+                bg = jax.random.uniform(k_bg, (Cs, Cs, 3))
+                bg_lo = bg.reshape(Cp, ss, Cp, ss, 3).mean(axis=(1, 3))
 
             if C == 4:
                 gt_mask = gt_raw[..., 3:]
-                gt_rgb = gt_raw[..., :3] * gt_mask + bg * (1 - gt_mask)
+                gt_rgb = gt_raw[..., :3] * gt_mask + bg_lo * (1 - gt_mask)
             else:
                 gt_mask = None
                 gt_rgb = gt_raw
 
-            # per-pixel view directions for the crop
-            jj = cy0 + jnp.arange(Cp)[:, None] + 0.5
-            ii = cx0 + jnp.arange(Cp)[None, :] + 0.5
-            jj = jnp.broadcast_to(jj.astype(jnp.float32), (Cp, Cp))
-            ii = jnp.broadcast_to(ii.astype(jnp.float32), (Cp, Cp))
+            # per-pixel view directions at supersampled centers (full-res
+            # pixel units: subpixel centers (k+0.5)/ss within each GT pixel)
+            sub = (jnp.arange(Cs, dtype=jnp.float32) + 0.5) / ss
+            jj = cy0.astype(jnp.float32) + sub[:, None]
+            ii = cx0.astype(jnp.float32) + sub[None, :]
+            jj = jnp.broadcast_to(jj, (Cs, Cs))
+            ii = jnp.broadcast_to(ii, (Cs, Cs))
             dcam = pixel_dirs_cam(
                 ii.reshape(-1), jj.reshape(-1),
                 (intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]))
             pose = poses[img_idx]
-            dirs = (dcam @ pose[:3, :3].T).reshape(Cp, Cp, 3)
+            dirs = (dcam @ pose[:3, :3].T).reshape(Cs, Cs, 3)
             mvp = mvps[img_idx]
 
             ind_code = None
@@ -794,7 +806,8 @@ class Trainer:
                     shading="full",
                     ind_code=ind_code, contracted=cfg.contract,
                     enable_offset_nerf_grad=cfg.enable_offset_nerf_grad,
-                    pos_gradient_boost=cfg.pos_gradient_boost)
+                    pos_gradient_boost=cfg.pos_gradient_boost,
+                    ssaa=ss)
 
                 loss_pix = cfg.lambda_rgb * jnp.mean(
                     (out["image"] - gt_rgb) ** 2, axis=-1)
@@ -816,6 +829,11 @@ class Trainer:
                 if cfg.lambda_offsets > 0:
                     loss += cfg.lambda_offsets * offsets_loss(
                         params["vertices_offsets"], v_inner, cfg.bound)
+                if cfg.lambda_lpips > 0:
+                    # weight-free perceptual analog of the reference's
+                    # lpips-vgg crop loss (utils.py:1044-1049)
+                    loss += cfg.lambda_lpips * perceptual_loss(
+                        out["image"], gt_rgb)
 
                 metrics = {
                     "loss": loss,
@@ -831,9 +849,13 @@ class Trainer:
                                                   state.params)
             params = optax.apply_updates(state.params, updates)
 
-            # per-face error accumulation (renderer.py:923-943)
+            # per-face error accumulation (renderer.py:923-943); trig_id is at
+            # supersampled resolution — replicate the per-GT-pixel loss
             tid = trig_id.reshape(-1)
-            lp = jax.lax.stop_gradient(loss_pix).reshape(-1)
+            lp = jax.lax.stop_gradient(loss_pix)
+            if ss > 1:
+                lp = jnp.repeat(jnp.repeat(lp, ss, axis=0), ss, axis=1)
+            lp = lp.reshape(-1)
             valid = tid >= 0
             safe = jnp.where(valid, tid, 0)
             tri_errors = tri_errors.at[safe].add(jnp.where(valid, lp, 0.0))

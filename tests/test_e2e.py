@@ -58,7 +58,10 @@ def test_stage1_trains_on_stage0(scene_root, workspace):
     from nerf2mesh_tpu.data.provider import load_nerf_dataset
     from nerf2mesh_tpu.utils.trainer import Trainer
 
-    cfg = _cfg(scene_root, workspace, ["--iters", "20", "--stage", "1"])
+    # default --ssaa 2 exercises the supersampled crop path; lambda_lpips
+    # exercises the perceptual crop loss
+    cfg = _cfg(scene_root, workspace,
+               ["--iters", "20", "--stage", "1", "--lambda_lpips", "0.01"])
     ds = load_nerf_dataset(cfg, "train")
     t = Trainer(cfg)
     assert t.load_checkpoint(stage=0)       # stage handoff

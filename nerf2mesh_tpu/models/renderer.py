@@ -87,7 +87,8 @@ def grid_cell_centers(spec: RenderSpec) -> jax.Array:
 GRID_UPDATE_SLABS = 8
 
 
-@partial(jax.jit, static_argnames=("spec", "net_spec", "decay", "slab"))
+@partial(jax.jit, static_argnames=("spec", "net_spec", "decay", "slab",
+                                   "trainable", "lambda_density", "grid_lr"))
 def update_density_grid(
     params: Dict[str, Any],
     state: RenderState,
@@ -97,6 +98,9 @@ def update_density_grid(
     max_level: Optional[jax.Array] = None,
     decay: float = 0.95,
     slab: int = -1,
+    trainable: bool = False,
+    lambda_density: float = 0.0,
+    grid_lr: float = 1e-2,
 ) -> RenderState:
     """Query density at jittered cell centers, EMA-max update, re-threshold
     occupancy (renderer.py:1074-1149).
@@ -106,6 +110,13 @@ def update_density_grid(
     reference re-queries all H^3*CAS cells every 16 steps; partial refresh
     amortizes that cost 8x with slightly stale occupancy (the same trade
     instant-NGP's official partial grid updates make).
+
+    trainable=True is --trainable_density_grid (renderer.py:1123-1149): the
+    grid descends an MSE-to-fresh-queries loss plus a cascaded mean-density
+    regularizer instead of the EMA-max.  The reference adds that loss to the
+    train objective and lets its Adam update the grid parameter; the gradient
+    only touches the grid (queries are detached), so the equivalent here is a
+    self-contained descent step on the analytic slab loss.
     """
     H, CAS = spec.grid_size, spec.cascades
     f32 = jnp.float32
@@ -136,7 +147,23 @@ def update_density_grid(
 
     old_slab = jax.lax.dynamic_slice_in_dim(state.density_grid, x_lo, HX, axis=1)
     valid = (old_slab >= 0) & (tmp_slab >= 0)
-    new_slab = jnp.where(valid, jnp.maximum(old_slab * decay, tmp_slab), old_slab)
+    if trainable:
+        tgt = jax.lax.stop_gradient(tmp_slab)
+
+        def slab_loss(g):
+            nv = jnp.maximum(jnp.sum(valid), 1).astype(f32)
+            loss = jnp.sum(jnp.where(valid, (g - tgt) ** 2, 0.0)) / nv
+            for cas in range(1, CAS):
+                nvc = jnp.maximum(jnp.sum(valid[cas]), 1).astype(f32)
+                loss = loss + (2.0 ** (cas - 1)) * lambda_density * (
+                    jnp.sum(jnp.where(valid[cas], g[cas], 0.0)) / nvc)
+            return loss
+
+        g = jax.grad(slab_loss)(old_slab)
+        new_slab = jnp.where(valid, old_slab - grid_lr * g, old_slab)
+    else:
+        new_slab = jnp.where(
+            valid, jnp.maximum(old_slab * decay, tmp_slab), old_slab)
     new_grid = jax.lax.dynamic_update_slice_in_dim(
         state.density_grid, new_slab, x_lo, axis=1)
 

@@ -429,7 +429,10 @@ class Trainer:
         for i, slab in enumerate(slabs):
             render = update_density_grid(
                 self.state.params, render, jax.random.fold_in(key, i),
-                self.render_spec, self.net_spec, dyn.max_level, slab=slab)
+                self.render_spec, self.net_spec, dyn.max_level, slab=slab,
+                trainable=self.cfg.trainable_density_grid,
+                lambda_density=self.cfg.lambda_density,
+                grid_lr=self.cfg.lr)
         self.state = self.state._replace(render=render)
 
     def _bucket(self, n: int, lo: int = 1024, hi: int = 16384) -> int:

@@ -69,3 +69,33 @@ def test_sh_encoder_sanity():
     band1 = out[:, 1:4]
     norms = np.linalg.norm(band1, axis=-1)
     np.testing.assert_allclose(norms, norms[0], rtol=1e-3)
+
+
+def test_update_density_grid_modes():
+    """EMA vs trainable (--trainable_density_grid) grid updates: both refresh
+    occupancy; trainable descends toward fresh queries and keeps -1 cells."""
+    import numpy as np
+    from nerf2mesh_tpu.models.renderer import (
+        RenderSpec, init_render_state, update_density_grid)
+
+    spec = NetworkSpec(bound=1.0, log2_hashmap_size=8, num_levels=4)
+    params = init_network(jax.random.PRNGKey(0), spec)
+    rspec = RenderSpec(bound=1.0, grid_size=16, max_steps=64)
+    st = init_render_state(rspec)
+    # mark one cell untrained
+    grid = st.density_grid.at[0, 0, 0, 0].set(-1.0)
+    st = st._replace(density_grid=grid)
+    key = jax.random.PRNGKey(1)
+
+    ema = update_density_grid(params, st, key, rspec, spec)
+    assert float(ema.density_grid[0, 0, 0, 0]) == -1.0
+    assert float(ema.mean_density) >= 0.0
+    assert int(ema.iter_density) == 1
+
+    tr = update_density_grid(params, st, key, rspec, spec,
+                             trainable=True, lambda_density=1e-4, grid_lr=0.1)
+    assert float(tr.density_grid[0, 0, 0, 0]) == -1.0
+    g = np.asarray(tr.density_grid)
+    assert np.isfinite(g).all()
+    # grid started at 0 and queries are non-negative: descent must move it up
+    assert g.max() > 0.0

@@ -235,6 +235,42 @@ int meshops_decimate(const float* verts, int nv, const int* tris, int nf,
     double cost;
     Vec3 np = best_point(a, b, &cost);
 
+    // link condition: the common neighbor vertices of a and b must be exactly
+    // the opposite vertices of the faces sharing edge (a,b); any extra common
+    // neighbor means the collapse pinches the surface into a non-manifold fin.
+    {
+      auto neigh = [&](int v, std::vector<int>& out) {
+        for (int f : vfaces[v]) {
+          if (dead_face[f]) continue;
+          int x = find(F[3 * f]), y = find(F[3 * f + 1]), z = find(F[3 * f + 2]);
+          if (x == y || y == z || x == z) continue;
+          if (x != v) out.push_back(x);
+          if (y != v) out.push_back(y);
+          if (z != v) out.push_back(z);
+        }
+        std::sort(out.begin(), out.end());
+        out.erase(std::unique(out.begin(), out.end()), out.end());
+      };
+      std::vector<int> na, nb, common, opp;
+      neigh(a, na); neigh(b, nb);
+      std::set_intersection(na.begin(), na.end(), nb.begin(), nb.end(),
+                            std::back_inserter(common));
+      for (int f : vfaces[a]) {
+        if (dead_face[f]) continue;
+        int vv[3] = {find(F[3 * f]), find(F[3 * f + 1]), find(F[3 * f + 2])};
+        bool ha = false, hb = false; int other = -1;
+        for (int k = 0; k < 3; k++) {
+          if (vv[k] == a) ha = true;
+          else if (vv[k] == b) hb = true;
+          else other = vv[k];
+        }
+        if (ha && hb && other >= 0) opp.push_back(other);
+      }
+      std::sort(opp.begin(), opp.end());
+      opp.erase(std::unique(opp.begin(), opp.end()), opp.end());
+      if (common != opp) continue;  // reject: would create non-manifold edge
+    }
+
     // collapse b into a
     parent[b] = a;
     V[a] = np;

@@ -257,6 +257,73 @@ def neus_alpha_from_sdf(
     return jnp.clip((p + 1e-5) / (c + 1e-5), 0.0, 1.0)
 
 
+def render_eval_segment(
+    params: Dict[str, Any],
+    occ_grid: jax.Array,
+    rays_o: jax.Array,            # [N, 3]
+    rays_d: jax.Array,            # [N, 3]
+    nears: jax.Array,             # [N] segment start (advances across calls)
+    fars: jax.Array,              # [N]
+    sample_dt: jax.Array,         # [N] fixed sample spacing
+    spec: RenderSpec,
+    net_spec: NetworkSpec,
+    *,
+    shading: str = "full",
+    ind_code: Optional[jax.Array] = None,
+) -> Dict[str, jax.Array]:
+    """One segment of the early-exit eval march (the TPU answer to the
+    reference's alive-ray inference loop, renderer.py:749-802 /
+    raymarching.cu:750-832).
+
+    Places spec.num_fine samples at fixed spacing sample_dt from `nears`,
+    composites them with transmittance starting at 1, and reports where the
+    march stopped (`t_exit`).  The caller accumulates across segments
+    (multiplicative transmittance) and drops finished rays between calls —
+    host-side compaction replaces the CUDA kernel's in-place alive lists.
+    No background compositing here; the caller owns it.
+    """
+    N = rays_o.shape[0]
+    K = spec.num_fine
+    m = sample_rays(
+        rays_o, rays_d, occ_grid, nears, fars,
+        num_coarse=spec.num_coarse, num_fine=K,
+        grid_size=spec.grid_size, cascades=spec.cascades,
+        bound=spec.bound, contracted=spec.contract, dt_gamma=spec.dt_gamma,
+        max_steps=spec.max_steps, perturb=False, sample_dt=sample_dt,
+    )
+    pts = jax.lax.stop_gradient(m.xyzs.reshape(N * K, 3))
+    dirs = safe_normalize(rays_d)
+    dirs_flat = jnp.broadcast_to(dirs[:, None, :], (N, K, 3)).reshape(N * K, 3)
+    if ind_code is not None and ind_code.shape[0] == N:
+        ind_flat = jnp.broadcast_to(
+            ind_code[:, None, :], (N, K, ind_code.shape[-1])).reshape(N * K, -1)
+    else:
+        ind_flat = ind_code
+
+    full_flag = jnp.asarray(shading != "diffuse")
+    sigmas, rgbs, _ = field_forward(
+        params, pts, dirs_flat, net_spec, full_flag, ind_flat, None)
+
+    if spec.sdf:
+        inv_s = jnp.clip(jnp.exp(params["variance"] * 10.0), 1e-6, 1e6)
+        normal = safe_normalize(
+            finite_diff_normal(params, pts, net_spec, 1e-4, None))
+        sigmas = neus_alpha_from_sdf(sigmas, normal, dirs_flat,
+                                     m.dts.reshape(-1), inv_s,
+                                     jnp.asarray(1.0))
+
+    out = composite_rays(
+        sigmas.reshape(N, K), rgbs.reshape(N, K, 3), m.ts, m.dts, m.valid,
+        T_thresh=spec.T_thresh, alpha_mode=spec.sdf,
+    )
+    return {
+        "image": out["image"],                 # pre-background contribution
+        "depth": out["depth"],
+        "weights_sum": out["weights_sum"],     # 1 - T_end within the segment
+        "t_exit": m.t_exit,
+    }
+
+
 def render_train(
     params: Dict[str, Any],
     occ_grid: jax.Array,

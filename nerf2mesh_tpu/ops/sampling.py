@@ -99,6 +99,36 @@ def _dt_schedule(t0, steps: int, dt_gamma: float, dt_min: float, dt_max: float):
     return ts, jnp.clip(ts * g, dt_min, dt_max)
 
 
+@partial(jax.jit, static_argnames=(
+    "num_coarse", "grid_size", "cascades", "bound", "contracted",
+    "dt_gamma", "max_steps"))
+def occupied_length(
+    rays_o, rays_d, occ_grid, nears, fars, *,
+    num_coarse: int = 128, grid_size: int = 128, cascades: int = 1,
+    bound: float = 1.0, contracted: bool = False, dt_gamma: float = 0.0,
+    max_steps: int = 1024,
+) -> jax.Array:
+    """[N] total occupied length along each ray (coarse pass only, no field
+    queries) — sets the fixed sample spacing for the early-exit eval march."""
+    f32 = jnp.float32
+    dt_min = 2.0 * SQRT3 / max_steps
+    dt_max = 2.0 * SQRT3 * bound / grid_size
+    span = jnp.maximum(fars - nears, 1e-9)
+    ts_sched, _ = _dt_schedule(nears, num_coarse + 1, dt_gamma, dt_min, dt_max)
+    reach = ts_sched[:, -1] - nears
+    scale = jnp.maximum(span / jnp.maximum(reach, 1e-9), 1.0)
+    edges = nears[:, None] + (ts_sched - nears[:, None]) * scale[:, None]
+    t0c = edges[:, :-1]
+    dtc = edges[:, 1:] - edges[:, :-1]
+    tmidc = t0c + 0.5 * dtc
+    xyz_c = rays_o[:, None, :] + tmidc[..., None] * rays_d[:, None, :]
+    xyz_c = jnp.clip(xyz_c, -bound, bound)
+    occ, _ = occupancy_lookup(occ_grid, xyz_c, dtc, bound, contracted,
+                              cascades, grid_size)
+    occ = occ & (t0c < fars[:, None])
+    return jnp.sum(jnp.where(occ, dtc, 0.0), axis=-1).astype(f32)
+
+
 class Samples(NamedTuple):
     """Dense per-ray samples, [N, K] layout."""
     ts: jax.Array      # [N, K] segment midpoint t
@@ -106,6 +136,8 @@ class Samples(NamedTuple):
     xyzs: jax.Array    # [N, K, 3] world (or contracted) positions
     valid: jax.Array   # [N, K] bool — ray had occupied space here
     total: jax.Array   # [] int32 number of valid samples (for adaptive rays)
+    t_exit: Optional[jax.Array] = None  # [N] segment-mode: t where the march
+    #                                     consumed its budget (next near)
 
 
 @partial(jax.jit, static_argnames=(
@@ -123,8 +155,18 @@ def sample_rays(
     max_steps: int = 1024,
     perturb: bool = False,
     noise_key: Optional[jax.Array] = None,
+    sample_dt: Optional[jax.Array] = None,
 ) -> Samples:
-    """Two-pass occupancy-importance sampling. rays_o/d: [N, 3]."""
+    """Two-pass occupancy-importance sampling. rays_o/d: [N, 3].
+
+    sample_dt [N] (segment mode, for the early-exit eval loop): instead of
+    stretching Kf samples over the whole occupied length, place them at fixed
+    per-ray spacing sample_dt starting at `nears`, consuming at most
+    Kf*sample_dt of occupied length; `t_exit` then reports where the march
+    stopped (the next segment's near).  This makes a sequence of segment
+    calls equivalent to one long fixed-spacing march (the reference's
+    march_rays inference loop, raymarching.cu:750-832).
+    """
     N = rays_o.shape[0]
     Kc, Kf = num_coarse, num_fine
     f32 = jnp.float32
@@ -160,7 +202,11 @@ def sample_rays(
         u = jax.random.uniform(noise_key, (N, Kf))
     else:
         u = jnp.full((N, Kf), 0.5)
-    s = (jnp.arange(Kf, dtype=f32)[None, :] + u) / Kf * total_len   # [N, Kf]
+    if sample_dt is None:
+        s = (jnp.arange(Kf, dtype=f32)[None, :] + u) / Kf * total_len  # [N, Kf]
+    else:
+        sd = sample_dt[:, None].astype(f32)                        # [N, 1]
+        s = (jnp.arange(Kf, dtype=f32)[None, :] + u) * sd          # [N, Kf]
 
     # dense searchsorted: one-hot over coarse segments, then gather-free
     # per-sample segment properties via einsum (rides the MXU).
@@ -175,10 +221,28 @@ def sample_rays(
 
     frac = jnp.where(seg_dt > 0, (s - seg_cdf0) / jnp.maximum(seg_dt, 1e-12), 0.0)
     ts = seg_t0 + frac * seg_dt                                # [N, Kf]
-    dts = total_len / Kf                                       # [N, 1] world-length per sample
-    dts = jnp.broadcast_to(dts, (N, Kf))
+    if sample_dt is None:
+        dts = total_len / Kf                                   # [N, 1] world-length per sample
+        dts = jnp.broadcast_to(dts, (N, Kf))
+    else:
+        dts = jnp.broadcast_to(sd, (N, Kf))
 
     valid = picked & has_any[:, None] & (ts < fars[:, None])
+    if sample_dt is not None:
+        valid = valid & (s < total_len)                        # budget inside occ
+
+    t_exit = None
+    if sample_dt is not None:
+        # t where cumulative occupied length reaches the consumed budget
+        consumed = jnp.minimum(Kf * sd[:, 0], total_len[:, 0])  # [N]
+        ch = ((cdf >= consumed[:, None]) &
+              (cdf0 < consumed[:, None])).astype(f32)           # [N, Kc]
+        e_t0 = jnp.einsum("nc,nc->n", ch, t0c)
+        e_cdf0 = jnp.einsum("nc,nc->n", ch, cdf0)
+        exhausted = Kf * sd[:, 0] >= total_len[:, 0]
+        t_exit = e_t0 + (consumed - e_cdf0)
+        # budget exhausted the remaining occupied space -> ray is done
+        t_exit = jnp.where(exhausted | ~has_any, fars + 1.0, t_exit)
 
     xyz = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
     xyz = jnp.clip(xyz, -bound, bound)
@@ -191,4 +255,5 @@ def sample_rays(
         xyzs=jnp.where(valid[..., None], xyz, 0.0),
         valid=valid,
         total=jnp.sum(valid).astype(jnp.int32),
+        t_exit=t_exit,
     )

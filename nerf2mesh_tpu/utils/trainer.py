@@ -560,12 +560,16 @@ class Trainer:
     def render_image(self, pose: np.ndarray, intrinsics: np.ndarray,
                      H: int, W: int, use_ema: bool = True,
                      chunk: int = 2048, shading: str = "full",
-                     bg_color: float = 1.0) -> Dict[str, np.ndarray]:
-        """Full-frame render in fixed-size chunks (eval path).
+                     bg_color: float = 1.0,
+                     seg_samples: int = 32) -> Dict[str, np.ndarray]:
+        """Full-frame render: early-exit segmented march (eval path).
 
-        The reference uses an alive-ray compaction loop (renderer.py:749-802);
-        here each chunk is rendered with the static-pool march, which covers
-        the same max_steps budget.
+        The reference's alive-ray compaction loop (renderer.py:749-802)
+        rebuilt for static shapes: each round renders `seg_samples` samples
+        per still-alive ray at a fixed per-ray spacing, then finished rays
+        (T below threshold or march exhausted) are compacted away on the
+        host.  Opaque rays terminate after 1-2 rounds, and deep scenes can
+        consume up to max_steps samples instead of a fixed per-ray cap.
         """
         params = self.state.ema_params if use_ema else self.state.params
         rspec, nspec = self.render_spec, self.net_spec
@@ -576,44 +580,94 @@ class Trainer:
         rays_d = np.asarray(rays["rays_d"])
 
         n = H * W
-        image = np.zeros((n, 3), np.float32)
-        depth = np.zeros(n, np.float32)
-        wsum = np.zeros(n, np.float32)
-
-        eval_spec = RenderSpec(
+        eval_fine = max(rspec.num_fine, 128)     # dense-equivalent sample count
+        seg_spec = RenderSpec(
             bound=rspec.bound, contract=rspec.contract,
             grid_size=rspec.grid_size, min_near=rspec.min_near,
             density_thresh=rspec.density_thresh, max_steps=rspec.max_steps,
-            num_coarse=rspec.num_coarse,
-            num_fine=max(rspec.num_fine, 128),   # denser samples for eval
+            num_coarse=rspec.num_coarse, num_fine=seg_samples,
             dt_gamma=rspec.dt_gamma, sdf=rspec.sdf)
 
-        if not hasattr(self, "_eval_fn"):
-            def _eval(params, occ, ro, rd, aabb):
-                bg = jnp.ones((chunk, 3)) * bg_color
-                return render_train(
-                    params, occ, ro, rd, bg, jax.random.PRNGKey(0),
-                    eval_spec, nspec, shading=shading, perturb=False,
-                    cos_anneal_ratio=jnp.asarray(1.0), aabb=aabb)
-            self._eval_fn = jax.jit(_eval)
+        cache_key = (chunk, shading, seg_samples)
+        if getattr(self, "_eval_key", None) != cache_key:
+            from ..models.renderer import render_eval_segment
+            from ..ops.sampling import near_far_from_aabb, occupied_length
 
+            def _prep(occ, ro, rd, aabb):
+                nears, fars = near_far_from_aabb(ro, rd, aabb, rspec.min_near)
+                olen = occupied_length(
+                    ro, rd, occ, nears, fars,
+                    num_coarse=rspec.num_coarse, grid_size=rspec.grid_size,
+                    cascades=rspec.cascades, bound=rspec.bound,
+                    contracted=rspec.contract, dt_gamma=rspec.dt_gamma,
+                    max_steps=rspec.max_steps)
+                return nears, fars, olen
+
+            def _seg(params, occ, ro, rd, nears, fars, sdt):
+                return render_eval_segment(
+                    params, occ, ro, rd, nears, fars, sdt, seg_spec, nspec,
+                    shading=shading)
+
+            self._eval_prep = jax.jit(_prep)
+            self._eval_seg = jax.jit(_seg)
+            self._eval_key = cache_key
+
+        occ = self.state.render.occ_grid
         aabb = jnp.asarray(self._aabb)
-        for head in range(0, n, chunk):
-            tail = min(head + chunk, n)
-            ro = np.zeros((chunk, 3), np.float32)
-            rd = np.ones((chunk, 3), np.float32)
-            ro[: tail - head] = rays_o[head:tail]
-            rd[: tail - head] = rays_d[head:tail]
-            out = self._eval_fn(params, self.state.render.occ_grid,
-                                jnp.asarray(ro), jnp.asarray(rd), aabb)
-            image[head:tail] = np.asarray(out["image"])[: tail - head]
-            depth[head:tail] = np.asarray(out["depth"])[: tail - head]
-            wsum[head:tail] = np.asarray(out["weights_sum"])[: tail - head]
+        dt_min = 2.0 * np.sqrt(3.0) / rspec.max_steps
 
+        def chunked(fn, arrays, m):
+            """Apply fn over m rows in fixed `chunk`-row buckets (padded)."""
+            outs = []
+            for head in range(0, m, chunk):
+                tail = min(head + chunk, m)
+                padded = []
+                for a in arrays:
+                    buf = np.zeros((chunk,) + a.shape[1:], a.dtype)
+                    buf[: tail - head] = a[head:tail]
+                    # keep padded ray dirs non-degenerate
+                    if a.ndim == 2 and tail - head < chunk:
+                        buf[tail - head:, -1] = 1.0
+                    padded.append(jnp.asarray(buf))
+                outs.append([np.asarray(o)[: tail - head] for o in fn(*padded)])
+            return [np.concatenate(parts) for parts in zip(*outs)]
+
+        nears, fars, olen = chunked(
+            lambda ro, rd: self._eval_prep(occ, ro, rd, aabb),
+            [rays_o, rays_d], n)
+        spacing = np.maximum(olen / eval_fine, dt_min).astype(np.float32)
+
+        image = np.zeros((n, 3), np.float32)
+        depth = np.zeros(n, np.float32)
+        T = np.ones(n, np.float32)
+        tcur = nears.copy()
+        alive = olen > 0
+
+        max_rounds = max(8, 2 * rspec.max_steps // max(seg_samples, 1))
+        for _ in range(max_rounds):
+            idx = np.nonzero(alive)[0]
+            if idx.size == 0:
+                break
+
+            def run_seg(ro, rd, nr, fr, sd):
+                o = self._eval_seg(params, occ, ro, rd, nr, fr, sd)
+                return o["image"], o["depth"], o["weights_sum"], o["t_exit"]
+
+            si, sd_, sw, st = chunked(
+                run_seg,
+                [rays_o[idx], rays_d[idx], tcur[idx], fars[idx], spacing[idx]],
+                idx.size)
+            image[idx] += T[idx, None] * si
+            depth[idx] += T[idx] * sd_
+            T[idx] *= 1.0 - sw
+            tcur[idx] = st
+            alive[idx] = (T[idx] > rspec.T_thresh) & (tcur[idx] <= fars[idx])
+
+        image += T[:, None] * bg_color
         return {
             "image": image.reshape(H, W, 3),
             "depth": depth.reshape(H, W),
-            "weights_sum": wsum.reshape(H, W),
+            "weights_sum": (1.0 - T).reshape(H, W),
         }
 
     def evaluate(self, dataset: Dataset, name: str = "eval",

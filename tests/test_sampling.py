@@ -143,3 +143,59 @@ def test_composite_grads_finite(rng):
     assert np.all(np.isfinite(np.asarray(gs)))
     assert np.all(np.isfinite(np.asarray(gr)))
     assert np.any(np.asarray(gs) != 0)
+
+
+def test_segment_mode_composes_to_full_march():
+    """sample_rays segment mode (early-exit eval): two sequential K/2-sample
+    segments at fixed spacing must reproduce the sample positions of one
+    K-sample fixed-spacing call, and t_exit must advance exactly by the
+    consumed occupied length."""
+    H = 32
+    occ = jnp.ones((1, H, H, H), jnp.uint8)
+    ro, rd, nears, fars = _axis_ray()
+    span = float(fars[0] - nears[0])
+    sd = jnp.asarray([span / 32], jnp.float32)
+
+    full = sample_rays(ro, rd, occ, nears, fars, num_coarse=64, num_fine=32,
+                       grid_size=H, cascades=1, bound=1.0, sample_dt=sd)
+    assert int(full.total) == 32
+    # exhausted the ray: t_exit signals done
+    assert float(full.t_exit[0]) > float(fars[0])
+
+    seg1 = sample_rays(ro, rd, occ, nears, fars, num_coarse=64, num_fine=16,
+                       grid_size=H, cascades=1, bound=1.0, sample_dt=sd)
+    assert int(seg1.total) == 16
+    t1 = float(seg1.t_exit[0])
+    np.testing.assert_allclose(t1, float(nears[0]) + 16 * float(sd[0]),
+                               rtol=1e-4)
+    seg2 = sample_rays(ro, rd, occ, jnp.asarray([t1]), fars, num_coarse=64,
+                       num_fine=16, grid_size=H, cascades=1, bound=1.0,
+                       sample_dt=sd)
+    assert int(seg2.total) == 16
+
+    ts_full = np.asarray(full.ts[0])
+    ts_seg = np.concatenate([np.asarray(seg1.ts[0]), np.asarray(seg2.ts[0])])
+    np.testing.assert_allclose(ts_seg, ts_full, atol=2e-3)
+
+    # half-occupied ray: budget larger than occupied space -> t_exit done
+    occ2 = np.zeros((1, H, H, H), np.uint8)
+    occ2[0, :, :, : H // 2] = 1
+    m = sample_rays(ro, rd, jnp.asarray(occ2), nears, fars, num_coarse=128,
+                    num_fine=32, grid_size=H, cascades=1, bound=1.0,
+                    sample_dt=jnp.asarray([1.0], jnp.float32))
+    assert float(m.t_exit[0]) > float(fars[0])
+
+
+def test_occupied_length_matches_sampler():
+    from nerf2mesh_tpu.ops.sampling import occupied_length
+    H = 32
+    occ2 = np.zeros((1, H, H, H), np.uint8)
+    occ2[0, :, :, : H // 2] = 1          # z in [-1, 0): 1.0 of the 2.0 span
+    ro, rd, nears, fars = _axis_ray()
+    ol = occupied_length(ro, rd, jnp.asarray(occ2), nears, fars,
+                         num_coarse=128, grid_size=H, cascades=1, bound=1.0)
+    np.testing.assert_allclose(float(ol[0]), 1.0, rtol=0.1)
+    ol0 = occupied_length(ro, rd, jnp.zeros((1, H, H, H), jnp.uint8), nears,
+                          fars, num_coarse=128, grid_size=H, cascades=1,
+                          bound=1.0)
+    assert float(ol0[0]) == 0.0

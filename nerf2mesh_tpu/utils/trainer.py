@@ -347,12 +347,14 @@ class Trainer:
                 per_shard = num_rays // n
                 has_cnf = cam_near_far is not None
 
+                has_depth = depth_data is not None
+
                 def shard_loss(params, render, keys, images_u8, poses,
-                               intrinsics, cnf, dyn_):
+                               intrinsics, cnf, dyn_, dd):
                     loss, metrics = self._loss_and_metrics(
                         params, render, keys[0], images_u8, poses, intrinsics,
                         cnf if has_cnf else None, dyn_, per_shard,
-                        depth_data=depth_data)
+                        depth_data=dd if has_depth else None)
                     # reduce over the data axis so outputs are replicated
                     loss = jax.lax.pmean(loss, "data")
                     metrics = {
@@ -363,18 +365,22 @@ class Trainer:
                     return loss, metrics
 
                 cnf_arg = cam_near_far if has_cnf else jnp.zeros((1, 2))
+                # depth data rides shard_map replicated (explicit specs; a
+                # closure capture would bypass the sharding contract)
+                dd_arg = depth_data if has_depth else {}
 
                 def loss_fn(params):
                     keys = jax.random.split(skey, n)
                     f = shard_map(
                         shard_loss,
                         mesh=mesh,
-                        in_specs=(P(), P(), P("data"), P(), P(), P(), P(), P()),
+                        in_specs=(P(), P(), P("data"), P(), P(), P(), P(),
+                                  P(), P()),
                         out_specs=(P(), P()),
                         check_rep=False,
                     )
                     loss, metrics = f(params, state.render, keys, images_u8,
-                                      poses, intrinsics, cnf_arg, dyn)
+                                      poses, intrinsics, cnf_arg, dyn, dd_arg)
                     return loss, metrics
             else:
                 def loss_fn(params):

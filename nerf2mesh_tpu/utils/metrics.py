@@ -78,12 +78,16 @@ class SSIMMeter(Meter):
 
 
 class LPIPSMeter(Meter):
-    """LPIPS-vgg if torch + lpips + weights are available; else inert."""
+    """LPIPS-vgg if torch + lpips + weights are available; otherwise falls
+    back to the weight-free perceptual proxy used by the lambda_lpips
+    training loss (utils/losses.perceptual_loss), reported as
+    'LPIPS (proxy)' so results are never silently conflated with lpips-vgg."""
     name = "LPIPS (vgg)"
 
     def __init__(self):
         super().__init__()
         self.fn = None
+        self._proxy = None
         try:  # pragma: no cover - env-dependent
             import lpips
             import torch
@@ -91,13 +95,23 @@ class LPIPSMeter(Meter):
             self._torch = torch
         except Exception:
             self.fn = None
+        if self.fn is None:
+            import jax
+            from .losses import perceptual_loss
+            self.name = "LPIPS (proxy)"
+            self._proxy = jax.jit(perceptual_loss)
 
     @property
     def available(self) -> bool:
-        return self.fn is not None
+        return self.fn is not None or self._proxy is not None
 
     def update(self, preds: np.ndarray, truths: np.ndarray):
         if self.fn is None:
+            if self._proxy is not None:
+                self.V += float(self._proxy(
+                    np.asarray(preds, np.float32),
+                    np.asarray(truths, np.float32)))
+                self.N += 1
             return
         t = self._torch
         p = t.from_numpy(np.asarray(preds, np.float32)).permute(2, 0, 1)[None] * 2 - 1

@@ -154,3 +154,19 @@ def test_render_stage1_crop_ssaa_pools_to_crop():
     # quad fills the screen: both fully covered, same field colors inside
     err = float(jnp.abs(o1["image"][4:-4, 4:-4] - o2["image"][4:-4, 4:-4]).max())
     assert err < 0.05
+
+
+def test_lpips_meter_proxy_fallback():
+    """Without lpips-vgg weights the meter reports the weight-free proxy
+    under a distinct name instead of going inert."""
+    from nerf2mesh_tpu.utils.metrics import LPIPSMeter
+    m = LPIPSMeter()
+    assert m.available
+    a = np.random.RandomState(0).rand(32, 32, 3).astype(np.float32)
+    b = np.clip(a + 0.2, 0, 1)
+    m.update(a, a)
+    m.update(a, b)
+    assert m.N == 2
+    assert m.measure() > 0
+    if m.fn is None:
+        assert m.name == "LPIPS (proxy)"

@@ -137,6 +137,8 @@ class Config:
     # GUI analog (offline viewer options)
     vis_pose: bool = False
     gui: bool = False
+    viewer_train: bool = False   # viewer interleaves 16-step training chunks
+    #                              (reference gui.py:106-128 train mode)
     W: int = 1000
     H: int = 1000
     radius: float = 5.0

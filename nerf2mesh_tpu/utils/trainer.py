@@ -471,22 +471,12 @@ class Trainer:
         self.state = self.state._replace(
             params=params, ema_params=jax.tree_util.tree_map(jnp.copy, params))
 
-    def train(self, dataset: Dataset, valid_dataset: Optional[Dataset] = None,
-              max_steps: Optional[int] = None):
+    def _prep_train_arrays(self, dataset: Dataset):
+        """Device-resident training arrays, cached per dataset (shared by the
+        main loop and the viewer's background-training chunks)."""
+        if getattr(self, "_train_arrays_for", None) is dataset:
+            return self._train_arrays
         cfg = self.cfg
-        steps = max_steps if max_steps is not None else cfg.iters
-        if cfg.mark_untrained:
-            self.mark_untrained(dataset)
-
-        # profiling hook (SURVEY.md §5.1): NERF2MESH_PROFILE=<dir> captures a
-        # jax.profiler trace of a slice of training for xprof/tensorboard.
-        prof_dir = os.environ.get("NERF2MESH_PROFILE")
-        if prof_dir:
-            jax.profiler.start_trace(prof_dir)
-            self._prof_stop_at = int(self.state.step) + 32
-        else:
-            self._prof_stop_at = None
-
         images = jnp.asarray(dataset.images)
         poses = jnp.asarray(dataset.poses)
         intrinsics = jnp.asarray(dataset.intrinsics)
@@ -513,6 +503,54 @@ class Trainer:
                 sv[i, :m] = 1.0
             depth_data = {"sparse": (jnp.asarray(sc), jnp.asarray(sd),
                                      jnp.asarray(sw), jnp.asarray(sv))}
+        self._train_arrays = (images, poses, intrinsics, cam_near_far,
+                              depth_data)
+        self._train_arrays_for = dataset
+        return self._train_arrays
+
+    def train_steps(self, dataset: Dataset, n: int = 16):
+        """Run n training steps without eval/checkpoint side effects — the
+        viewer's interleaved training chunk (reference gui.py:106-128 runs 16
+        train steps per GUI frame).  Returns the last step's metrics."""
+        cfg = self.cfg
+        images, poses, intrinsics, cam_near_far, depth_data = (
+            self._prep_train_arrays(dataset))
+        last = None
+        for _ in range(n):
+            step = int(self.state.step)
+            if step % cfg.update_extra_interval == 0:
+                self.update_grid(step)
+            nr = (self._bucket(self.num_rays) if cfg.adaptive_num_rays
+                  else cfg.num_rays)
+            fn = self.step_fn_for(nr)
+            self.state, last = fn(self.state, images, poses, intrinsics,
+                                  cam_near_far, self.dynamics(step),
+                                  depth_data)
+            if (cfg.adaptive_num_rays
+                    and (step + 1) % cfg.update_extra_interval == 0):
+                npts = int(last["num_points"])
+                if npts > 0:
+                    self.num_rays = int(round(cfg.num_points / npts * nr))
+        return last
+
+    def train(self, dataset: Dataset, valid_dataset: Optional[Dataset] = None,
+              max_steps: Optional[int] = None):
+        cfg = self.cfg
+        steps = max_steps if max_steps is not None else cfg.iters
+        if cfg.mark_untrained:
+            self.mark_untrained(dataset)
+
+        # profiling hook (SURVEY.md §5.1): NERF2MESH_PROFILE=<dir> captures a
+        # jax.profiler trace of a slice of training for xprof/tensorboard.
+        prof_dir = os.environ.get("NERF2MESH_PROFILE")
+        if prof_dir:
+            jax.profiler.start_trace(prof_dir)
+            self._prof_stop_at = int(self.state.step) + 32
+        else:
+            self._prof_stop_at = None
+
+        images, poses, intrinsics, cam_near_far, depth_data = (
+            self._prep_train_arrays(dataset))
 
         eval_interval = max(1, steps // max(cfg.n_eval, 1))
         save_interval = max(1, steps // max(cfg.n_ckpt, 1))

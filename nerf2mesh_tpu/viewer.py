@@ -29,7 +29,8 @@ _PAGE = """<!DOCTYPE html>
 <style>body{margin:0;background:#111;color:#ccc;font-family:monospace}
 #img{width:100vw;height:100vh;object-fit:contain;image-rendering:pixelated}
 #hud{position:fixed;top:8px;left:8px}</style></head>
-<body><div id="hud">drag orbit / wheel zoom</div><img id="img"/>
+<body><div id="hud">drag orbit / wheel zoom<br/><span id="train"></span></div>
+<img id="img"/>
 <script>
 let theta=1.2, phi=0.5, radius=2.5, busy=false, pending=false;
 const img=document.getElementById('img'), hud=document.getElementById('hud');
@@ -51,18 +52,54 @@ addEventListener('pointermove',e=>{if(!drag)return;
   px=e.clientX;py=e.clientY;refresh();});
 addEventListener('wheel',e=>{radius*=Math.exp(e.deltaY*0.001);refresh();});
 refresh();
+setInterval(async()=>{
+  const s=await(await fetch('/status')).json();
+  if(s.step!==undefined){
+    document.getElementById('train').textContent=
+      `train ${s.step}/${s.iters} loss=${s.loss.toExponential(2)} `+
+      `psnr=${s.psnr.toFixed(1)} ${s.steps_per_sec.toFixed(1)} it/s`+
+      (s.done?' [done]':'');
+    if(!s.done) refresh();
+  }
+},2000);
 </script></body></html>"""
 
 
 class ViewerServer:
     def __init__(self, trainer, dataset, port: int = 7007,
-                 budget_ms: float = 500.0):
+                 budget_ms: float = 500.0, train_dataset=None):
         self.trainer = trainer
         self.dataset = dataset
         self.port = port
         self.budget_ms = budget_ms
         self.downscale = 4            # dynamic, like gui.py:158-163
         self.lock = threading.Lock()
+        self.train_dataset = train_dataset
+        self.train_status = {}
+        self._stop = False
+        if train_dataset is not None:
+            threading.Thread(target=self._train_loop, daemon=True).start()
+
+    def _train_loop(self):
+        """Background training interleaved with rendering (the reference GUI
+        runs 16 train steps per frame when train mode is on, gui.py:106-128);
+        the render lock arbitrates access to the model state."""
+        t = self.trainer
+        while not self._stop and int(t.state.step) < t.cfg.iters:
+            t0 = time.time()
+            with self.lock:
+                m = t.train_steps(self.train_dataset, 16)
+            self.train_status = {
+                "step": int(t.state.step),
+                "iters": int(t.cfg.iters),
+                "loss": float(m["loss"]),
+                "psnr": float(m["psnr"]),
+                "steps_per_sec": 16.0 / max(time.time() - t0, 1e-6),
+            }
+            time.sleep(0.005)         # let pending render requests in
+        with self.lock:
+            t.save_checkpoint()
+        self.train_status = dict(self.train_status, done=True)
 
     def render_frame(self, theta: float, phi: float, radius: float) -> bytes:
         from PIL import Image
@@ -115,6 +152,10 @@ class ViewerServer:
                         float(q.get("radius", [2.5])[0]))
                     self.send_response(200)
                     self.send_header("Content-Type", "image/png")
+                elif u.path == "/status":
+                    body = json.dumps(viewer.train_status).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
                 else:
                     self.send_response(404)
                     body = b""
@@ -145,7 +186,15 @@ def main(argv=None):
         print("[viewer] WARNING: no checkpoint found; rendering untrained model")
     if cfg.stage > 0:
         trainer.setup_stage1(ds)
-    ViewerServer(trainer, ds).serve()
+    train_ds = None
+    if cfg.viewer_train:
+        if cfg.stage > 0:
+            print("[viewer] WARNING: --viewer_train supports stage 0 only")
+        else:
+            train_ds = load_dataset(cfg, split="train")
+            if cfg.mark_untrained:
+                trainer.mark_untrained(train_ds)
+    ViewerServer(trainer, ds, train_dataset=train_ds).serve()
 
 
 if __name__ == "__main__":

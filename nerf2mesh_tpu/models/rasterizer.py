@@ -204,6 +204,17 @@ def rasterize_crop(
     # so interior tri-tri edges stay opaque; only true silhouettes go soft.
     alpha_flat = jnp.where(live.reshape(-1), alpha.reshape(-1), 0.0)
     alpha_img = jnp.zeros((NP,), f32).at[pix_flat].max(alpha_flat)[:-1]
+    # a pixel center strictly inside ANY triangle is interior to the mesh
+    # surface, not near its silhouette — force it opaque.  Without this,
+    # sub-pixel triangles (dense stage-1 meshes) cap every interior pixel's
+    # per-triangle edge distance near 0 and the whole surface renders
+    # half-transparent.  Soft (differentiable) alpha remains exactly on
+    # silhouette pixels outside all triangles, which is where nvdiffrast's
+    # antialias propagates vertex gradients too (renderer.py:884-887).
+    strict_in = jnp.where(live.reshape(-1) & (sdist.reshape(-1) > -1e-3),
+                          1.0, 0.0)
+    covered_strict = jnp.zeros((NP,), f32).at[pix_flat].max(strict_in)[:-1]
+    alpha_img = jnp.maximum(alpha_img, covered_strict)
 
     return {
         "tri_id": out_tri,

@@ -127,3 +127,26 @@ def test_gradient_through_interpolation():
 
     g = jax.grad(loss)(0.0)
     assert np.isfinite(float(g)) and abs(float(g)) > 1e-4
+
+
+def test_subpixel_triangles_interior_opaque():
+    """Dense meshes (sub-pixel triangles, stage-1 after subdivision) must not
+    render half-transparent: pixel centers interior to the surface get
+    alpha=1; the soft silhouette ramp applies only outside all triangles."""
+    n = 64
+    xs = np.linspace(-0.5, 0.5, n + 1, dtype=np.float32)
+    vv = np.stack(np.meshgrid(xs, xs, indexing="ij"), -1).reshape(-1, 2)
+    verts = np.concatenate(
+        [vv, np.full((len(vv), 1), 0.5, np.float32),
+         np.ones((len(vv), 1), np.float32)], -1)
+    idx = np.arange((n + 1) * (n + 1)).reshape(n + 1, n + 1)
+    a, b, c, d = idx[:-1, :-1], idx[1:, :-1], idx[:-1, 1:], idx[1:, 1:]
+    tris = np.concatenate(
+        [np.stack([a, b, c], -1).reshape(-1, 3),
+         np.stack([b, d, c], -1).reshape(-1, 3)]).astype(np.int32)
+    spec = RasterSpec(crop=64, max_tris=1 << 13, frag=8)
+    r = rasterize_crop(jnp.asarray(verts), jnp.asarray(tris),
+                       jnp.asarray([0, 0]), 64, 64, spec)
+    alpha = np.asarray(r["alpha"])
+    assert alpha[24:40, 24:40].min() > 0.99    # interior opaque
+    assert alpha[:12, :12].max() < 0.01        # far outside transparent

@@ -24,9 +24,10 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                       capture_output=True)
+    # always invoke make: the mtime check makes it a no-op when current, and
+    # a stale (or checked-in) binary can never shadow meshops.cpp changes
+    subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                   capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
     pf = ctypes.POINTER(ctypes.c_float)
     pi = ctypes.POINTER(ctypes.c_int)
@@ -35,6 +36,14 @@ def _load():
         pf, ctypes.c_int, pi, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(pf), pi, ctypes.POINTER(pi), pi,
+        ctypes.POINTER(pi),
+    ]
+    lib.meshops_remesh.restype = ctypes.c_int
+    lib.meshops_remesh.argtypes = [
+        pf, ctypes.c_int, pi, ctypes.c_int, ctypes.c_float, ctypes.c_int,
+        pi, ctypes.c_int,
+        ctypes.POINTER(pf), pi, ctypes.POINTER(pi), pi,
+        ctypes.POINTER(pi),
     ]
     lib.meshops_clean.restype = ctypes.c_int
     lib.meshops_clean.argtypes = [
@@ -47,7 +56,8 @@ def _load():
     return lib
 
 
-def _call_native(fn, verts, tris, *args):
+def _call_native(fn, verts, tris, *args, n_extra_out: int = 0):
+    """Invoke a native op; returns (verts, tris[, extra int array per face])."""
     lib = _load()
     v = np.ascontiguousarray(verts, np.float32)
     f = np.ascontiguousarray(tris, np.int32)
@@ -55,12 +65,14 @@ def _call_native(fn, verts, tris, *args):
     pi = ctypes.POINTER(ctypes.c_int)
     out_v, out_f = pf(), pi()
     out_nv, out_nf = ctypes.c_int(0), ctypes.c_int(0)
+    extras = [pi() for _ in range(n_extra_out)]
     rc = fn(
         v.ctypes.data_as(pf), len(v),
         f.ctypes.data_as(pi), len(f),
         *args,
         ctypes.byref(out_v), ctypes.byref(out_nv),
         ctypes.byref(out_f), ctypes.byref(out_nf),
+        *[ctypes.byref(e) for e in extras],
     )
     assert rc == 0
     nv, nf = out_nv.value, out_nf.value
@@ -68,21 +80,52 @@ def _call_native(fn, verts, tris, *args):
     rf = np.ctypeslib.as_array(out_f, shape=(nf, 3)).copy()
     lib.meshops_free(ctypes.cast(out_v, ctypes.c_void_p))
     lib.meshops_free(ctypes.cast(out_f, ctypes.c_void_p))
-    return rv, rf
+    res = [rv, rf]
+    for e in extras:
+        res.append(np.ctypeslib.as_array(e, shape=(nf,)).copy())
+        lib.meshops_free(ctypes.cast(e, ctypes.c_void_p))
+    return tuple(res)
 
 
 def decimate_mesh(verts: np.ndarray, tris: np.ndarray, target: float,
                   protect: Optional[np.ndarray] = None,
-                  ) -> Tuple[np.ndarray, np.ndarray]:
-    """Quadric edge-collapse to ~`target` faces (meshutils.py:27-60)."""
+                  return_src: bool = False):
+    """Quadric edge-collapse to ~`target` faces (meshutils.py:27-60).
+
+    With return_src=True also returns, per output face, the input face index
+    it descends from (for carrying per-face attributes through)."""
     lib = _load()
     if protect is not None:
         protect = np.ascontiguousarray(protect, np.uint8)
         pp = protect.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     else:
         pp = ctypes.POINTER(ctypes.c_uint8)()
-    return _call_native(lib.meshops_decimate, verts, tris,
-                        ctypes.c_int(int(target)), pp)
+    res = _call_native(lib.meshops_decimate, verts, tris,
+                       ctypes.c_int(int(target)), pp, n_extra_out=1)
+    return res if return_src else res[:2]
+
+
+def remesh_mesh(verts: np.ndarray, tris: np.ndarray, target_len: float,
+                iterations: int = 3,
+                face_attr: Optional[np.ndarray] = None,
+                sel_attr: int = -1):
+    """Isotropic explicit remeshing (meshutils.py:196-230
+    isotropic_explicit_remeshing): split/collapse/flip/relax toward edge
+    length `target_len`.  With face_attr + sel_attr >= 0, only the region
+    whose faces carry attr == sel_attr is remeshed (selection border fixed);
+    returns (verts, tris, attr) with the attribute carried through."""
+    lib = _load()
+    pi = ctypes.POINTER(ctypes.c_int)
+    if face_attr is not None:
+        fa = np.ascontiguousarray(face_attr, np.int32)
+        pa = fa.ctypes.data_as(pi)
+    else:
+        pa = pi()
+        sel_attr = -1
+    return _call_native(lib.meshops_remesh, verts, tris,
+                        ctypes.c_float(float(target_len)),
+                        ctypes.c_int(int(iterations)),
+                        pa, ctypes.c_int(int(sel_attr)), n_extra_out=1)
 
 
 def clean_mesh(verts: np.ndarray, tris: np.ndarray,
@@ -147,9 +190,12 @@ def select_outside_box(aabb: np.ndarray):
 
 def midpoint_subdivide(verts: np.ndarray, tris: np.ndarray,
                        face_mask: np.ndarray,
-                       ) -> Tuple[np.ndarray, np.ndarray]:
+                       return_parents: bool = False):
     """1-to-4 midpoint subdivision of selected faces; neighbors of split edges
-    are bisected to stay watertight (meshutils.py:191-230 refine path)."""
+    are bisected to stay watertight (meshutils.py:191-230 refine path).
+
+    With return_parents=True also returns, per output face, the index of the
+    input face it derives from (children inherit per-face attributes)."""
     verts = np.asarray(verts, np.float32)
     tris = np.asarray(tris, np.int64)
     face_mask = np.asarray(face_mask, bool)
@@ -171,9 +217,11 @@ def midpoint_subdivide(verts: np.ndarray, tris: np.ndarray,
         return mid_of.get(k, -1)
 
     out = []
+    parents = []
     for fi, (a, b, c) in enumerate(tris):
         mab, mbc, mca = mid(a, b), mid(b, c), mid(c, a)
         n_split = (mab >= 0) + (mbc >= 0) + (mca >= 0)
+        n0 = len(out)
         if n_split == 0:
             out.append((a, b, c))
         elif n_split == 3:
@@ -192,7 +240,11 @@ def midpoint_subdivide(verts: np.ndarray, tris: np.ndarray,
                 out += [(a, mab, mca), (mab, b, c), (mab, c, mca)]
             else:
                 out += [(b, mbc, mab), (mbc, c, a), (mbc, a, mab)]
-    return all_verts.astype(np.float32), np.asarray(out, np.int32)
+        parents += [fi] * (len(out) - n0)
+    res = (all_verts.astype(np.float32), np.asarray(out, np.int32))
+    if return_parents:
+        return res + (np.asarray(parents, np.int64),)
+    return res
 
 
 def decimate_and_refine_mesh(verts: np.ndarray, tris: np.ndarray,
@@ -201,34 +253,51 @@ def decimate_and_refine_mesh(verts: np.ndarray, tris: np.ndarray,
                              refine_size: float = 0.01,
                              refine_remesh_size: float = 0.02,
                              ) -> Tuple[np.ndarray, np.ndarray]:
-    """Adaptive refinement (meshutils.py:191-230): mask==1 faces are decimation
-    candidates, mask==2 faces are subdivided when larger than refine_size."""
+    """Adaptive refinement (meshutils.py:191-230), in the reference's order:
+    mask==1 faces are decimated (selected-only, target
+    (1-ratio)*(mask==1).sum() faces within the selection), the mask==1 region
+    is isotropically remeshed to refine_remesh_size, then mask==2 faces with
+    edges over refine_size are midpoint-subdivided.  The mask is carried
+    through each topology change (pymeshlab carries fq; here the native ops
+    return face provenance / attributes)."""
     verts = np.asarray(verts, np.float32)
     tris = np.asarray(tris, np.int32)
-    mask = np.asarray(mask)
+    mask = np.asarray(mask).astype(np.int32)
 
-    # subdivide large high-error faces
-    if refine_size > 0:
+    # 1. decimate the mask==1 selection (meshutils.py:204-206: quadric
+    #    collapse, selected=True, targetfacenum=(1-ratio)*n_sel — i.e. remove
+    #    ratio*n_sel faces, all from the selection)
+    n_sel = int((mask == 1).sum())
+    if decimate_ratio > 0 and n_sel > 0 and len(tris) > 0:
+        target = len(tris) - int(decimate_ratio * n_sel)
+        protect = (mask != 1).astype(np.uint8)
+        verts, tris, src = decimate_mesh(verts, tris, target, protect=protect,
+                                         return_src=True)
+        mask = mask[src]
+
+    # 2. isotropic remeshing of the (possibly decimated) selection
+    #    (meshutils.py:208-209: 3 iterations at refine_remesh_size).  In SDF
+    #    mode this is the only active step (reference main.py:151-153 zeroes
+    #    decimate_ratio/refine_size and masks every face 1).
+    if refine_remesh_size > 0 and (mask == 1).any() and len(tris) > 0:
+        verts, tris, mask = remesh_mesh(
+            verts, tris, refine_remesh_size, iterations=3,
+            face_attr=mask, sel_attr=1)
+
+    # 3. subdivide large high-error faces (meshutils.py:216-218: midpoint
+    #    subdivision of the mask==2 selection with threshold refine_size)
+    if refine_size > 0 and len(tris) > 0:
         e0 = np.linalg.norm(verts[tris[:, 0]] - verts[tris[:, 1]], axis=-1)
         e1 = np.linalg.norm(verts[tris[:, 1]] - verts[tris[:, 2]], axis=-1)
         e2 = np.linalg.norm(verts[tris[:, 2]] - verts[tris[:, 0]], axis=-1)
         big = np.maximum(np.maximum(e0, e1), e2) > refine_size
         to_split = (mask == 2) & big
         if to_split.any():
-            old_nf = len(tris)
-            protect_split = np.zeros(old_nf, bool)
-            verts, tris = midpoint_subdivide(verts, tris, to_split)
-            # mask no longer aligns after subdivision; rebuild: protect nothing
-            mask = np.zeros(len(tris))
+            verts, tris, parents = midpoint_subdivide(verts, tris, to_split,
+                                                      return_parents=True)
+            mask = mask[parents]
 
-    # decimate low-error faces (protect high-error ones when mask still aligns)
-    if decimate_ratio > 0 and len(tris) > 0:
-        target = int(len(tris) * (1 - decimate_ratio))
-        protect = None
-        if len(mask) == len(tris):
-            protect = (np.asarray(mask) == 2).astype(np.uint8)
-        verts, tris = decimate_mesh(verts, tris, target, protect=protect)
-
+    # 4. repair (meshutils.py:212-214): dedup/degenerate removal via clean
     return clean_mesh(verts, tris, min_f=4, min_d=2.0)
 
 

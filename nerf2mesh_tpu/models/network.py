@@ -45,6 +45,10 @@ class NetworkSpec:
     separate_tables: bool = False
     log2_hashmap_size: int = 19
     num_levels: int = 16
+    # table indexing layout: "block512" groups the lattice into 8^3 windows
+    # (hash at block granularity) so the Pallas windowed encoder can serve
+    # full-size tables; "ref" matches the reference entry-hash exactly.
+    grid_layout: str = "ref"
 
     @property
     def density_grid_spec(self) -> HashGridSpec:
@@ -53,6 +57,7 @@ class NetworkSpec:
             level_dim=1 if self.separate_tables else 3,
             log2_hashmap_size=self.log2_hashmap_size,
             desired_resolution=int(2048 * self.bound), interpolation="linear",
+            layout=self.grid_layout,
         )
 
     @property
@@ -63,6 +68,7 @@ class NetworkSpec:
             num_levels=self.num_levels, level_dim=2,
             log2_hashmap_size=self.log2_hashmap_size,
             desired_resolution=int(2048 * self.bound), interpolation="linear",
+            layout=self.grid_layout,
         )
 
     @property

@@ -97,7 +97,12 @@ def rasterize_crop(
         & (ymax >= y0) & (ymin < y0 + Cp)
     )
 
-    # --- compact overlapping triangles to K slots (ray-major order)
+    # --- compact overlapping triangles to K slots (ray-major order).
+    # Triangles past the K budget are DROPPED — report the count loudly
+    # (`overflow` output) so callers can assert/warn instead of rendering
+    # holes silently (round-1 failure mode: 4.2M tris vs K=131k).
+    n_overlap = jnp.sum(overlaps.astype(jnp.int32))
+    overflow = jnp.maximum(n_overlap - K, 0)
     (slot_idx,) = jnp.nonzero(overlaps, size=K, fill_value=F)
     valid_tri = slot_idx < F
     sid = jnp.where(valid_tri, slot_idx, 0)
@@ -181,8 +186,17 @@ def rasterize_crop(
     depth_det = jax.lax.stop_gradient(depth).reshape(-1)
     depth_det = jnp.where(live.reshape(-1), depth_det, jnp.inf)
 
-    zmin = jnp.full((NP,), jnp.inf, f32).at[pix_flat].min(depth_det)
-    frag_wins = depth_det <= (jnp.take(zmin, pix_flat) + 1e-9)
+    # depth-winner selection prefers STRICTLY-INSIDE fragments: near-edge
+    # outside fragments (sdist in (-0.5, 0]) carry extrapolated barycentrics
+    # and would query the field off-surface on dense meshes — they may only
+    # win pixels no inside fragment covers (silhouette rims).  ndc z spans
+    # ~[-1,1], so +4 pushes all outside fragments behind every inside one.
+    outside = jax.lax.stop_gradient(sdist).reshape(-1) <= 0.0
+    depth_key = jnp.where(outside, depth_det + 4.0, depth_det)
+    depth_key = jnp.where(live.reshape(-1), depth_key, jnp.inf)
+
+    zmin = jnp.full((NP,), jnp.inf, f32).at[pix_flat].min(depth_key)
+    frag_wins = depth_key <= (jnp.take(zmin, pix_flat) + 1e-9)
 
     frag_ids = jnp.arange(K * B * B, dtype=jnp.int32)
     frag_ids_masked = jnp.where(frag_wins, frag_ids, K * B * B)
@@ -222,6 +236,7 @@ def rasterize_crop(
         "depth": resolve(depth),
         "alpha": jnp.clip(alpha_img.reshape(Cp, Cp), 0.0, 1.0),
         "covered": covered,
+        "overflow": overflow,
     }
 
 
@@ -261,10 +276,17 @@ def rasterize_trig_id(verts: jax.Array, tris: jax.Array, mvp: jax.Array,
 
 
 def subdivide_for_raster(verts: np.ndarray, tris: np.ndarray,
-                         max_edge: float) -> Tuple[np.ndarray, np.ndarray]:
+                         max_edge: float,
+                         max_faces: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side preprocessing: midpoint-subdivide triangles until no edge
     exceeds max_edge (world units), bounding projected bbox size so each
-    triangle fits its fragment block."""
+    triangle fits its fragment block.
+
+    max_faces > 0 is a hard face budget (keep the mesh within the raster
+    compaction budget K — round 1 measured a 42x face explosion silently
+    overflowing K): when splitting everything would bust the budget, only the
+    largest faces are split, largest-first, and the loop stops at the budget.
+    """
     from ..meshing.meshops import midpoint_subdivide
     verts = np.asarray(verts, np.float32)
     tris = np.asarray(tris, np.int64)
@@ -275,8 +297,23 @@ def subdivide_for_raster(verts: np.ndarray, tris: np.ndarray,
             np.linalg.norm(verts[tris[:, 2]] - verts[tris[:, 0]], axis=-1),
         ], -1).max(-1)
         big = e > max_edge
-        if not big.any():
+        n_big = int(big.sum())
+        if n_big == 0:
             break
+        if max_faces > 0:
+            # a 1->4 split adds 3 faces (edge-neighbor bisection adds ~1 more;
+            # the budget check next round catches any overshoot)
+            n_budget = max(max_faces - len(tris), 0) // 3
+            if n_budget == 0:
+                print(f"[subdivide_for_raster] face budget {max_faces} "
+                      f"reached with {n_big} faces still over max_edge="
+                      f"{max_edge:.4g}; stopping (strided fragment blocks "
+                      f"cover the remainder)")
+                break
+            if n_big > n_budget:
+                order = np.argsort(-e)[:n_budget]
+                big = np.zeros(len(tris), bool)
+                big[order] = True
         verts, tris = midpoint_subdivide(verts, tris, big)
         tris = tris.astype(np.int64)
     return verts.astype(np.float32), tris.astype(np.int32)

@@ -71,10 +71,33 @@ class Stage1Mesh:
         return len(self.triangles)
 
 
+def camera_min_depth(poses: np.ndarray, v_lo: np.ndarray, v_hi: np.ndarray,
+                     floor: float = 0.1) -> float:
+    """Conservative minimum camera-space depth of any mesh point over all
+    training views: euclidean distance from each camera origin to the mesh
+    AABB, times cos(~max half-FOV) since off-axis points have depth
+    dist*cos(angle).  Bounds the worst-case screen size of a world-space edge
+    (screen_px ~ edge * fl / z)."""
+    poses = np.asarray(poses)
+    cams = poses[:, :3, 3]                                    # [N, 3]
+    d = np.maximum(np.maximum(v_lo[None] - cams, 0.0), cams - v_hi[None])
+    dist = np.linalg.norm(d, axis=-1)
+    return max(float(dist.min()) * 0.7, floor)
+
+
 def load_stage1_mesh(workspace: str, cascades: int, mesh_path: str = "",
                      use_updated: bool = True,
-                     max_screen_edge: float = 0.0) -> Stage1Mesh:
-    """Load cascade meshes from mesh_stage0/ (renderer.py:130-153)."""
+                     max_screen_edge: float = 0.0,
+                     poses: Optional[np.ndarray] = None,
+                     max_faces: int = 0) -> Stage1Mesh:
+    """Load cascade meshes from mesh_stage0/ (renderer.py:130-153).
+
+    max_screen_edge is the world-edge bound AT UNIT DEPTH (frag_px/fl); the
+    actual bound per cascade is scaled by the measured minimum camera depth
+    (round 1 assumed z=1 while the scene sat at z~2.5, exploding the face
+    count 42x past the raster budget).  max_faces caps the per-cascade face
+    count after subdivision.
+    """
     from ..meshing.io import read_ply
 
     verts, tris = [], []
@@ -96,7 +119,11 @@ def load_stage1_mesh(workspace: str, cascades: int, mesh_path: str = "",
         # byte-stable across reloads (checkpointed offsets index them).
         if max_screen_edge > 0 and not is_updated:
             from .rasterizer import subdivide_for_raster
-            v, f = subdivide_for_raster(v, f, max_screen_edge)
+            max_edge = max_screen_edge
+            if poses is not None and len(v) > 0:
+                z_min = camera_min_depth(poses, v.min(0), v.max(0))
+                max_edge = max_screen_edge * z_min
+            v, f = subdivide_for_raster(v, f, max_edge, max_faces=max_faces)
         verts.append(v)
         tris.append(f + v_cumsum[-1])
         v_cumsum.append(v_cumsum[-1] + len(v))
@@ -186,6 +213,7 @@ def render_stage1_crop(
         "depth": depth,
         "weights_sum": weights_sum,
         "trig_id": rast["tri_id"],
+        "overflow": rast["overflow"],
     }
 
 

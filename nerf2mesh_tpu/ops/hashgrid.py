@@ -41,7 +41,24 @@ _PRIMES = (1, 2654435761, 805459861)
 
 @dataclass(frozen=True)
 class HashGridSpec:
-    """Static metadata for one encoder instance (shapes are compile-time)."""
+    """Static metadata for one encoder instance (shapes are compile-time).
+
+    layout:
+      "ref"      — reference indexing: dense row-major for levels whose grid
+                   fits the table slice, xor-of-primes entry hash otherwise
+                   (gridencoder.cu:50-63).
+      "block512" — TPU window layout: the corner lattice is partitioned into
+                   aligned 8^3 blocks; index = window*512 + row-major offset
+                   within the block, where window is the dense block id
+                   (coarse levels) or an xor-of-primes hash OF THE BLOCK
+                   COORDS masked to a power-of-two window count (fine levels).
+                   Collisions happen at block granularity — each table entry
+                   still aliases the same number of lattice sites as "ref",
+                   only spatially correlated — and every corner lookup of a
+                   spatially-local chunk of points lands in <= 8 contiguous
+                   512-entry windows, which is what makes a VMEM-windowed
+                   Pallas gather possible (PERF.md roadmap).
+    """
     num_levels: int = 16
     level_dim: int = 2
     base_resolution: int = 16
@@ -52,6 +69,7 @@ class HashGridSpec:
     align_corners: bool = False
     interpolation: str = "linear"   # "linear" | "smoothstep"
     input_dim: int = 3
+    layout: str = "ref"             # "ref" | "block512"
 
     def __post_init__(self):
         if self.desired_resolution is not None:
@@ -60,6 +78,9 @@ class HashGridSpec:
                 / (self.num_levels - 1)
             )
             object.__setattr__(self, "per_level_scale", float(s))
+        assert self.layout in ("ref", "block512")
+        if self.layout == "block512":
+            assert self.input_dim == 3, "block512 layout is 3-D only"
 
     # ---- derived static tables ----
     @property
@@ -77,10 +98,24 @@ class HashGridSpec:
         )
 
     @property
+    def block_counts(self) -> np.ndarray:
+        """(block512) blocks per dim per level: ceil(corner_side / 8)."""
+        side = self.resolutions + (0 if self.align_corners else 1)
+        return ((side + 7) // 8).astype(np.int64)
+
+    @property
     def level_sizes(self) -> np.ndarray:
-        """Entries per level (grid.py:122-130)."""
+        """Entries per level (ref: grid.py:122-130; block512: window multiples)."""
         max_params = 2 ** self.log2_hashmap_size
         sizes = []
+        if self.layout == "block512":
+            for nb in self.block_counts:
+                dense = int(nb) ** self.input_dim * 512
+                if self.gridtype == "hash" and dense > max_params:
+                    sizes.append(max_params)        # 2^k windows of 512
+                else:
+                    sizes.append(dense)
+            return np.array(sizes, dtype=np.int64)
         for r in self.resolutions:
             side = int(r) if self.align_corners else int(r) + 1
             n = min(max_params, side ** self.input_dim)
@@ -98,6 +133,9 @@ class HashGridSpec:
     @property
     def use_hash(self) -> np.ndarray:
         """True for levels whose dense grid exceeds the table slice."""
+        if self.layout == "block512":
+            dense = self.block_counts ** self.input_dim * 512
+            return (self.gridtype == "hash") & (dense > self.level_sizes)
         side = self.resolutions + (0 if self.align_corners else 1)
         return (self.gridtype == "hash") & (side ** self.input_dim > self.level_sizes)
 
@@ -113,8 +151,35 @@ def init_hashgrid(key: jax.Array, spec: HashGridSpec, dtype=jnp.float32) -> jax.
     )
 
 
+def _corner_indices_block(pos_grid, spec: HashGridSpec):
+    """block512 layout: index = win*512 + row-major offset in the 8^3 block;
+    win = dense block id (coarse) or xor-prime hash of block coords (fine)."""
+    sizes = jnp.asarray(spec.level_sizes.astype(np.uint32))          # [L]
+    n_win = sizes // jnp.uint32(512)
+    use_hash = jnp.asarray(spec.use_hash)                            # [L]
+    nb = jnp.asarray(spec.block_counts.astype(np.uint32))            # [L]
+
+    b = pos_grid >> jnp.uint32(3)                                    # [N, L, 8, D]
+    loc = pos_grid & jnp.uint32(7)
+    local_off = loc[..., 0] + loc[..., 1] * jnp.uint32(8) \
+        + loc[..., 2] * jnp.uint32(64)                               # [N, L, 8]
+
+    nb_ = nb[None, :, None]
+    dense_win = (b[..., 0] + b[..., 1] * nb_ + b[..., 2] * nb_ * nb_)
+    hash_win = (b[..., 0] * jnp.uint32(_PRIMES[0])
+                ^ b[..., 1] * jnp.uint32(_PRIMES[1])
+                ^ b[..., 2] * jnp.uint32(_PRIMES[2]))
+    win = jnp.where(use_hash[None, :, None], hash_win, dense_win)
+    win = win % n_win[None, :, None]    # hashed counts are 2^k; dense: safety
+    idx = win * jnp.uint32(512) + local_off
+    offs = jnp.asarray(spec.offsets[:-1].astype(np.uint32))
+    return (idx + offs[None, :, None]).astype(jnp.int32)             # [N, L, 8]
+
+
 def _corner_indices(pos_grid, spec: HashGridSpec):
     """Table index for integer grid coords pos_grid [N, L, 8, D] (uint32)."""
+    if spec.layout == "block512":
+        return _corner_indices_block(pos_grid, spec)
     res = jnp.asarray(spec.resolutions.astype(np.uint32))            # [L]
     side = res if spec.align_corners else res + 1                    # [L]
     sizes = jnp.asarray(spec.level_sizes.astype(np.uint32))          # [L]

@@ -82,10 +82,14 @@ def sh_encode(dirs: jax.Array, degree: int = 4) -> jax.Array:
                 * math.factorial(l - am)
                 / math.factorial(l + am)
             )
+            # the Condon-Shortley phase is already carried by pmm's -(2m-1)
+            # factors; adding another (-1)^m here would cancel it and flip
+            # every odd-m sign vs the reference kernel (shencoder.cu, e.g.
+            # outputs[1] = -0.4886*y)
             if m == 0:
                 comps.append(k * p[(l, 0)])
             elif m > 0:
-                comps.append(math.sqrt(2.0) * k * p[(l, m)] * c[m] * ((-1) ** m))
+                comps.append(math.sqrt(2.0) * k * p[(l, m)] * c[m])
             else:
-                comps.append(math.sqrt(2.0) * k * p[(l, am)] * s[am] * ((-1) ** am))
+                comps.append(math.sqrt(2.0) * k * p[(l, am)] * s[am])
     return jnp.stack(comps, axis=-1).astype(jnp.float32)

@@ -786,7 +786,11 @@ class Trainer:
         from ..models.stage1 import load_stage1_mesh
 
         # subdivision cap so projected bboxes fit the fragment block:
-        # screen_px ~ edge * fl / z; use z ~ 1, keep edge <= frag * z / fl
+        # screen_px ~ edge * fl / z.  max_screen_edge is quoted at unit depth;
+        # load_stage1_mesh scales it by the measured minimum camera depth and
+        # enforces a hard face budget within the raster compaction budget K
+        # (round-1 failure: z=1 assumption at z~2.5 scenes -> 42x faces ->
+        # 97% of triangles silently dropped).
         self._s1_crop = int(min(128, dataset.H, dataset.W))
         fl = float(dataset.intrinsics_for(0)[0])
         # ssaa multiplies the effective focal length at raster resolution
@@ -794,7 +798,8 @@ class Trainer:
             fl * max(int(self.cfg.ssaa), 1))
         self.stage1_mesh = load_stage1_mesh(
             self.workspace, self.render_spec.cascades, mesh_path=self.cfg.mesh,
-            use_updated=self.cfg.ckpt != "scratch", max_screen_edge=max_edge)
+            use_updated=self.cfg.ckpt != "scratch", max_screen_edge=max_edge,
+            poses=dataset.poses, max_faces=3 * 2 ** 16)
         self.log(f"[INFO] stage1 mesh: v={self.stage1_mesh.num_vertices} "
                  f"f={self.stage1_mesh.num_faces}")
         self._reset_stage1_params()
@@ -834,6 +839,10 @@ class Trainer:
         self.tri_errors = jnp.zeros((mesh.num_faces,), jnp.float32)
         self.tri_counts = jnp.zeros((mesh.num_faces,), jnp.float32)
         self._stage1_step_fn = None
+        # the jitted eval closure captures RasterSpec (max_tris) and H/W; it
+        # must not survive a topology change
+        self._s1_eval_fn = None
+        self._s1_eval_key = None
 
     def _build_stage1_step(self):
         cfg = self.cfg
@@ -940,6 +949,9 @@ class Trainer:
                     "loss": loss,
                     "psnr": -10.0 * jnp.log10(jnp.maximum(
                         jnp.mean((out["image"] - gt_rgb) ** 2), 1e-12)),
+                    # triangles dropped past the raster compaction budget —
+                    # nonzero means the render (and its gradients) had holes
+                    "overflow": out["overflow"],
                 }
                 return loss, (metrics, out["trig_id"], loss_pix)
 
@@ -1008,6 +1020,11 @@ class Trainer:
                 self.log(f"[stage1 {step+1}/{steps}] loss={m['loss']:.6f} "
                          f"psnr={m['psnr']:.2f} f={self.stage1_mesh.num_faces} "
                          f"{(time.time()-t0):.1f}s")
+                if m.get("overflow", 0) > 0:
+                    self.log(f"[WARN] raster budget overflow: "
+                             f"{int(m['overflow'])} triangles dropped this "
+                             f"step — renders have holes; reduce mesh faces "
+                             f"or raise max_tris")
             if valid_dataset is not None and (step + 1) % eval_interval == 0:
                 self.evaluate(valid_dataset, name=f"s1_step{step+1}",
                               stage1=True)
@@ -1027,7 +1044,9 @@ class Trainer:
         nspec = self.net_spec
         params = self.state.params
 
-        if not hasattr(self, "_s1_eval_fn") or self._s1_eval_fn is None:
+        cache_key = (rspec, H, W)
+        if getattr(self, "_s1_eval_fn", None) is None or \
+                getattr(self, "_s1_eval_key", None) != cache_key:
             @jax.jit
             def _eval(params, mesh_v, mesh_f, mvp, origin, dirs, bg):
                 return render_stage1_crop(
@@ -1035,10 +1054,12 @@ class Trainer:
                     mvp, origin, dirs, bg, nspec, rspec, H, W,
                     shading="full", contracted=self.cfg.contract)
             self._s1_eval_fn = _eval
+            self._s1_eval_key = cache_key
 
         image = np.zeros((H, W, 3), np.float32)
         depth = np.zeros((H, W), np.float32)
         wsum = np.zeros((H, W), np.float32)
+        overflow = 0
         fx, fy, cx, cy = np.asarray(intrinsics)
         bg = jnp.full((Cp, Cp, 3), bg_color)
         for y0 in range(0, H, Cp):
@@ -1057,6 +1078,10 @@ class Trainer:
                 image[y0:y0+h, x0:x0+w] = np.asarray(out["image"])[:h, :w]
                 depth[y0:y0+h, x0:x0+w] = np.asarray(out["depth"])[:h, :w]
                 wsum[y0:y0+h, x0:x0+w] = np.asarray(out["weights_sum"])[:h, :w]
+                overflow += int(out["overflow"])
+        if overflow > 0:
+            self.log(f"[WARN] stage-1 eval raster overflow: {overflow} "
+                     f"triangles dropped across crops — image has holes")
         return {"image": image, "depth": depth, "weights_sum": wsum}
 
     def test_video(self, dataset: Dataset, name: str = "test",

@@ -49,3 +49,73 @@ def test_decimate_stays_manifold():
         # geometry stays near the unit sphere
         r = np.linalg.norm(dv, axis=1)
         assert 0.8 < r.min() and r.max() < 1.1
+
+
+def test_remesh_isotropic():
+    """Isotropic explicit remeshing (meshutils.py:196-230): edge lengths move
+    toward target_len, the mesh stays closed-manifold and on the surface."""
+    v, f = _icosphere(4)
+    # coarsen (target above input mean edge) and refine (below)
+    for target in (0.15, 0.03):
+        rv, rf, _ = meshops.remesh_mesh(v, f, target, iterations=4)
+        counts = _edge_face_counts(rf)
+        assert (counts == 2).all(), "remesh broke manifoldness"
+        e = np.concatenate([rf[:, [0, 1]], rf[:, [1, 2]], rf[:, [2, 0]]])
+        el = np.linalg.norm(rv[e[:, 0]] - rv[e[:, 1]], axis=-1)
+        assert 0.5 * target < el.mean() < 1.6 * target
+        r = np.linalg.norm(rv, axis=1)
+        assert 0.95 < r.min() and r.max() < 1.05, "remesh left the sphere"
+
+
+def test_remesh_selected_only():
+    """Selected-only remeshing keeps unselected faces untouched and carries
+    the per-face attribute through."""
+    v, f = _icosphere(4)
+    cm = v[f].mean(1)
+    mask = (cm[:, 2] > 0).astype(np.int32)
+    rv, rf, rm = meshops.remesh_mesh(v, f, 0.25, iterations=4,
+                                     face_attr=mask, sel_attr=1)
+    assert (_edge_face_counts(rf) == 2).all()
+    # unselected region: exact same number of faces survives
+    assert (rm == 0).sum() == (mask == 0).sum()
+    e01 = np.linalg.norm(rv[rf[:, 0]] - rv[rf[:, 1]], axis=-1)
+    assert e01[rm == 1].mean() > 2.0 * e01[rm == 0].mean()
+
+
+def test_decimate_face_provenance():
+    """return_src maps output faces to input faces (attribute carry-through)."""
+    v, f = _icosphere(3)
+    dv, df, src = meshops.decimate_mesh(v, f, 300, return_src=True)
+    assert len(src) == len(df)
+    assert src.min() >= 0 and src.max() < len(f)
+    # surviving faces descend from inputs on the same side of the sphere:
+    # centroids of output face and its source face are close
+    c_in = v[f].mean(1)[src]
+    c_out = dv[df].mean(1)
+    d = np.linalg.norm(c_in - c_out, axis=-1)
+    assert np.median(d) < 0.3
+
+
+def test_decimate_and_refine_mask_semantics():
+    """Reference semantics (meshutils.py:191-230): only mask==1 faces are
+    decimated, mask==2 faces are subdivided (children inherit protection),
+    mask==0 faces are left alone."""
+    v, f = _icosphere(4)
+    cm = v[f].mean(1)
+    mask = np.zeros(len(f))
+    mask[cm[:, 2] > 0.3] = 2          # subdivide the cap
+    mask[cm[:, 2] < -0.3] = 1         # decimate the bottom
+    n0 = int(((cm[:, 2] >= -0.3) & (cm[:, 2] <= 0.3)).sum())
+    rv, rf = meshops.decimate_and_refine_mesh(
+        v, f, mask, decimate_ratio=0.5, refine_size=0.01,
+        refine_remesh_size=0.0)
+    cm2 = rv[rf].mean(1)
+    # cap got denser, bottom got sparser, belt roughly unchanged
+    n_top_in = int((mask == 2).sum())
+    n_bot_in = int((mask == 1).sum())
+    n_top_out = int((cm2[:, 2] > 0.3).sum())
+    n_bot_out = int((cm2[:, 2] < -0.3).sum())
+    assert n_top_out > 2.5 * n_top_in, "subdivision region did not refine"
+    assert n_bot_out < 0.75 * n_bot_in, "decimation region did not shrink"
+    n_belt_out = int(((cm2[:, 2] >= -0.3) & (cm2[:, 2] <= 0.3)).sum())
+    assert abs(n_belt_out - n0) < 0.35 * n0, "mask==0 belt was modified"

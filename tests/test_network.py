@@ -71,6 +71,26 @@ def test_sh_encoder_sanity():
     np.testing.assert_allclose(norms, norms[0], rtol=1e-3)
 
 
+def test_sh_encoder_reference_golden():
+    """Degree-3 golden values against the reference kernel's hard-coded
+    constants (shencoder.cu:28-80), including the Condon-Shortley phase on
+    odd-m components (outputs[1] = -0.4886*y etc.)."""
+    x, y, z = 0.3, -0.5, 0.81240384  # unit vector
+    out = np.asarray(sh_encode(jnp.asarray([[x, y, z]]), degree=3))[0]
+    expect = np.array([
+        0.28209479177387814,
+        -0.48860251190291987 * y,
+        0.48860251190291987 * z,
+        -0.48860251190291987 * x,
+        1.0925484305920792 * x * y,
+        -1.0925484305920792 * y * z,
+        0.94617469575755997 * z * z - 0.31539156525251999,
+        -1.0925484305920792 * x * z,
+        0.54627421529603959 * (x * x - y * y),
+    ])
+    np.testing.assert_allclose(out, expect, atol=1e-6)
+
+
 def test_update_density_grid_modes():
     """EMA vs trainable (--trainable_density_grid) grid updates: both refresh
     occupancy; trainable descends toward fresh queries and keeps -1 cells."""

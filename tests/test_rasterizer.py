@@ -150,3 +150,78 @@ def test_subpixel_triangles_interior_opaque():
     alpha = np.asarray(r["alpha"])
     assert alpha[24:40, 24:40].min() > 0.99    # interior opaque
     assert alpha[:12, :12].max() < 0.01        # far outside transparent
+
+
+def test_overflow_counter():
+    """Triangles past the compaction budget K must be COUNTED, not silently
+    dropped (round-1 failure: 97% of 4.2M triangles dropped without a trace)."""
+    rng = np.random.default_rng(0)
+    n = 40
+    spec = RasterSpec(crop=64, max_tris=16, frag=8)
+    # n small triangles, all overlapping the crop
+    c = rng.uniform(-0.8, 0.8, (n, 2))
+    v = np.concatenate([
+        np.stack([c[:, 0], c[:, 1]], -1),
+        np.stack([c[:, 0] + 0.05, c[:, 1]], -1),
+        np.stack([c[:, 0], c[:, 1] + 0.05], -1),
+    ], 0)
+    verts = ortho_clip(np.concatenate([v, np.full((3 * n, 1), 0.5)], -1))
+    tris = jnp.asarray(np.stack([np.arange(n), np.arange(n) + n,
+                                 np.arange(n) + 2 * n], -1), jnp.int32)
+    r = rasterize_crop(verts, tris, jnp.asarray([0, 0]), H, W, spec)
+    assert int(r["overflow"]) == n - 16
+    # under budget: no overflow
+    spec_big = RasterSpec(crop=64, max_tris=64, frag=8)
+    r2 = rasterize_crop(verts, tris, jnp.asarray([0, 0]), H, W, spec_big)
+    assert int(r2["overflow"]) == 0
+
+
+def test_inside_fragment_beats_near_edge_outside():
+    """The depth winner must be a strictly-inside fragment when one covers the
+    pixel: near-edge OUTSIDE fragments (rasterized for soft silhouette alpha)
+    carry extrapolated barycentrics and would query the field off-surface."""
+    # far triangle strictly containing the pixel center; near triangle whose
+    # edge passes ~0.3px outside the same pixel center (still rasterized:
+    # sdist > -0.5).  pixel (32,32) center = ndc (0.015625, 0.015625)... use
+    # crop pixel (8,8): center px (8.5, 8.5) -> ndc (8.5/32-1) = -0.734
+    px = py = 8.5
+    nx = px / W * 2 - 1
+    ny = py / H * 2 - 1
+    eps_px = 0.3 / (W / 2)            # 0.3 pixel in ndc units
+    verts = ortho_clip([
+        # tri 0 (far, z=0.8): big, strictly contains the pixel center
+        [nx - 0.5, ny - 0.5, 0.8], [nx + 0.5, ny - 0.5, 0.8], [nx, ny + 0.5, 0.8],
+        # tri 1 (near, z=0.2): to the right of a vertical edge at
+        # x = nx + eps, so the pixel center is ~0.3px OUTSIDE it
+        [nx + eps_px, ny - 0.5, 0.2], [nx + 0.5, ny - 0.5, 0.2],
+        [nx + eps_px, ny + 0.5, 0.2],
+    ])
+    tris = jnp.asarray([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    spec = RasterSpec(crop=64, max_tris=16, frag=64)
+    r = rasterize_crop(verts, tris, jnp.asarray([0, 0]), H, W, spec)
+    tid = np.asarray(r["tri_id"])
+    assert tid[8, 8] == 0, f"winner {tid[8,8]}: outside fragment beat inside"
+    # a pixel strictly inside BOTH must go to the nearer triangle
+    assert tid[8, 12] == 1
+
+
+def test_subdivision_budget_and_camera_depth():
+    """subdivide_for_raster honors the hard face budget; load_stage1_mesh
+    scales the edge bound by actual camera distance (round-1: z=1 assumption
+    at z=2.5 exploded faces 42x past the K budget)."""
+    from nerf2mesh_tpu.models.rasterizer import subdivide_for_raster
+    from nerf2mesh_tpu.models.stage1 import camera_min_depth
+
+    rng = np.random.default_rng(1)
+    v = rng.uniform(-1, 1, (100, 3)).astype(np.float32)
+    f = rng.integers(0, 100, (160, 3)).astype(np.int32)
+    f = f[(f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])]
+    v2, f2 = subdivide_for_raster(v, f, max_edge=0.01, max_faces=1200)
+    assert len(f2) <= 1200 + 4 * len(f)  # ~budget (one round may overshoot)
+    assert len(f2) > len(f)
+
+    # camera at distance 2.5 from a unit box: min depth ~ (2.5-1)*0.7
+    pose = np.eye(4)[None].repeat(3, 0)
+    pose[:, 2, 3] = [2.5, 4.0, 3.0]
+    z = camera_min_depth(pose, np.array([-1., -1, -1]), np.array([1., 1, 1]))
+    assert abs(z - (2.5 - 1.0) * 0.7) < 1e-6

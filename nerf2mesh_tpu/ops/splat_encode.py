@@ -1,0 +1,479 @@
+"""Splat-contraction hash encoder: MXU matmuls instead of gathers.
+
+The hash-table lookup dominates the stage-0 step on this backend (PERF.md:
+XLA lowers random gather/scatter to ~10ns/row serial loops; 947 ms/step at the
+default 2^19 tables).  This module replaces the per-corner gather with dense
+MXU contractions over VMEM-resident table *windows*:
+
+Trilinear interpolation is separable: with one-hot-ish per-axis weight vectors
+wx/wy/wz (two nonzeros each: (1-f) at floor, f at floor+1),
+
+    feat[c,p] = sum_{x,y,z} T[c,x,y,z] * wx[x,p] * wy[y,p] * wz[z,p].
+
+For a tile of 128 points contained in a 2x2x2 neighborhood of 8^3 table
+blocks (the "block512" layout of ops/hashgrid.py — hashing happens at block
+granularity so spatially-local points share whole windows), the sum over the
+16^3 virtual lattice becomes 4 matmuls per (tile, level):
+
+    M[(sx,c,x), p]   = sum_{(sy,sz)} T_pair[(sx,c,x),(y,z)] @ W_pair[(y,z), p]
+    feat[c,p]        = sum_{sx,x} M[(sx,c,x), p] * wx[8*sx+x, p]
+
+Corners whose local coords fall outside the 16^3 neighborhood contribute zero
+in-kernel (the one-hot weights vanish outside [0,16)) and are repaired EXACTLY
+by a budgeted XLA residual gather — so the op equals `hashgrid_encode` to
+float tolerance regardless of how local the points are; locality only moves
+work between the fast kernel and the residual.
+
+Replaces the performance role of the reference CUDA gridencoder
+(/root/reference/gridencoder/src/gridencoder.cu:87-339); numerics match
+ops/hashgrid.hashgrid_encode on layout="block512" specs.
+
+Layouts:
+  canonical table  [total, C]      (hashgrid.py block512: idx = off_l +
+                                    win*512 + (x&7) + 8*(y&7) + 64*(z&7))
+  splat table      [Wtot, 8*C, 64] window rows; row r = c*8 + x,
+                                    lane j = 8*z + y.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .hashgrid import (HashGridSpec, _PRIMES, _corner_indices,
+                       _corner_offsets, hashgrid_encode)
+
+TILE = 128          # points per tile (lane dim)
+
+
+# ---------------------------------------------------------------------------
+# static helpers
+# ---------------------------------------------------------------------------
+
+def splat_supported(spec: HashGridSpec) -> bool:
+    return (spec.layout == "block512" and spec.input_dim == 3
+            and spec.interpolation == "linear")
+
+
+def window_counts(spec: HashGridSpec) -> np.ndarray:
+    return (spec.level_sizes // 512).astype(np.int64)
+
+
+def window_offsets(spec: HashGridSpec) -> np.ndarray:
+    return np.concatenate([[0], np.cumsum(window_counts(spec))]).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# layout transforms (dense reshuffles — XLA transposes, no gathers)
+# ---------------------------------------------------------------------------
+
+def to_splat(table: jax.Array, spec: HashGridSpec) -> jax.Array:
+    """[total, C] canonical block512 -> [Wtot, 8*C, 64] splat windows."""
+    C = spec.level_dim
+    # canonical in-window offset = x + 8y + 64z -> [win, z, y, x, C]
+    t = table.reshape(-1, 8, 8, 8, C)
+    # -> [win, C, x, z, y]; row r = c*8+x, lane j = 8z+y
+    t = t.transpose(0, 4, 3, 1, 2)
+    return t.reshape(-1, 8 * C, 64)
+
+
+def from_splat(splat: jax.Array, spec: HashGridSpec) -> jax.Array:
+    """[Wtot, 8*C, 64] -> [total, C] (inverse of to_splat)."""
+    C = spec.level_dim
+    t = splat.reshape(-1, C, 8, 8, 8)        # [win, c, x, z, y]
+    t = t.transpose(0, 3, 4, 2, 1)           # [win, z, y, x, c]
+    return t.reshape(-1, C)
+
+
+# ---------------------------------------------------------------------------
+# per-(tile, level) window metadata (XLA; feeds kernel SMEM inputs)
+# ---------------------------------------------------------------------------
+
+def _level_consts(spec: HashGridSpec, l: int):
+    n_win = int(window_counts(spec)[l])
+    woff = int(window_offsets(spec)[l])
+    nb = int(spec.block_counts[l])
+    use_hash = bool(spec.use_hash[l])
+    scale = spec.level_scale(l)
+    return n_win, woff, nb, use_hash, scale
+
+
+def tile_meta(x_tiles: jax.Array, spec: HashGridSpec, l: int):
+    """Per-tile base block + the 8 neighborhood window rows for level l.
+
+    x_tiles: [n_tiles, TILE, 3] clipped positions in [0,1].
+    Returns (base [n_tiles, 3] int32 block coords,
+             rows [n_tiles, 8] int32 level-LOCAL window ids); slot bit order
+    matches the corner bit order (bit0=x, bit1=y, bit2=z).
+    """
+    n_win, _, nb, use_hash, scale = _level_consts(spec, l)
+    shift = 0.0 if spec.align_corners else 0.5
+    pg = jnp.floor(x_tiles.astype(jnp.float32) * scale + shift)     # [T,128,3]
+    base = (jnp.min(pg, axis=1).astype(jnp.int32) >> 3)             # [T,3]
+
+    # slot bit order matches corners: slot s = sx + 2*sy + 4*sz
+    slots = np.array([[s & 1, (s >> 1) & 1, (s >> 2) & 1] for s in range(8)])
+    b = base[:, None, :] + jnp.asarray(slots, jnp.int32)[None]      # [T,8,3]
+    bu = b.astype(jnp.uint32)
+    if use_hash:
+        win = (bu[..., 0] * jnp.uint32(_PRIMES[0])
+               ^ bu[..., 1] * jnp.uint32(_PRIMES[1])
+               ^ bu[..., 2] * jnp.uint32(_PRIMES[2]))
+    else:
+        win = bu[..., 0] + bu[..., 1] * jnp.uint32(nb) \
+            + bu[..., 2] * jnp.uint32(nb * nb)
+    win = (win % jnp.uint32(n_win)).astype(jnp.int32)
+    return base, win
+
+
+# ---------------------------------------------------------------------------
+# XLA reference of the in-window contraction (exactness oracle for the kernel)
+# ---------------------------------------------------------------------------
+
+def _axis_weights(pg, frac, bb):
+    """One-hot-ish [.., 16] weights on the local 16-lattice for one axis."""
+    lg = pg - 8.0 * bb[..., None, :].astype(jnp.float32)            # local floor
+    rows = jnp.arange(16, dtype=jnp.float32)
+    # [T, P, 3] -> per axis [T, P, 16]
+    def one(a):
+        g = lg[..., a][..., None]
+        f = frac[..., a][..., None]
+        return (jnp.where(rows == g, 1.0 - f, 0.0)
+                + jnp.where(rows == g + 1.0, f, 0.0))
+    return one(0), one(1), one(2)
+
+
+def windowed_reference(table: jax.Array, x_tiles: jax.Array,
+                       spec: HashGridSpec) -> jax.Array:
+    """In-window part of the encoding, computed the way the kernel does
+    (gather windows, contract against separable weights).  [n_tiles, TILE,
+    L, C].  Test-only oracle; O(n_tiles * 8 windows) row gathers."""
+    L, C = spec.num_levels, spec.level_dim
+    T = x_tiles.shape[0]
+    splat = to_splat(table, spec)                                   # [W, 8C, 64]
+    shift = 0.0 if spec.align_corners else 0.5
+    out = []
+    for l in range(L):
+        _, woff, _, _, scale = _level_consts(spec, l)
+        base, rows = tile_meta(x_tiles, spec, l)
+        p = x_tiles.astype(jnp.float32) * scale + shift
+        pg = jnp.floor(p)
+        frac = p - pg
+        wx, wy, wz = _axis_weights(pg, frac, base)                  # [T,P,16]
+        wins = jnp.take(splat, rows + woff, axis=0)                 # [T,8,8C,64]
+        wins = wins.reshape(T, 2, 2, 2, C, 8, 8, 8)                 # [T,sz,sy,sx,c,x,z,y]
+        # slot s = sx + 2 sy + 4 sz -> reshape(2,2,2) unpacks (sz,sy,sx)
+        wxs = wx.reshape(T, -1, 2, 8)                               # [T,P,sx,x]
+        wys = wy.reshape(T, -1, 2, 8)
+        wzs = wz.reshape(T, -1, 2, 8)
+        feat = jnp.einsum("tZYXcxzy,tpXx,tpYy,tpZz->tpc",
+                          wins, wxs, wys, wzs)
+        out.append(feat)
+    return jnp.stack(out, axis=2)                                   # [T,P,L,C]
+
+
+def inwindow_mask(x_tiles: jax.Array, spec: HashGridSpec) -> jax.Array:
+    """[n_tiles, TILE, L, 8corners] bool: corner handled by the kernel."""
+    L = spec.num_levels
+    shift = 0.0 if spec.align_corners else 0.5
+    corners = np.array([[(i >> d) & 1 for d in range(3)] for i in range(8)])
+    masks = []
+    for l in range(L):
+        scale = _level_consts(spec, l)[4]
+        p = x_tiles.astype(jnp.float32) * scale + shift
+        pg = jnp.floor(p)
+        base, _ = tile_meta(x_tiles, spec, l)
+        cg = pg[:, :, None, :] + jnp.asarray(corners, jnp.float32)  # [T,P,8,3]
+        local = cg - 8.0 * base[:, None, None, :].astype(jnp.float32)
+        masks.append(jnp.all((local >= 0) & (local < 16), axis=-1))
+    return jnp.stack(masks, axis=2)                                 # [T,P,L,8]
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels (one specialized call per level; static level constants)
+# ---------------------------------------------------------------------------
+
+def _axis_w(iota_rows, lg, f):
+    """One-hot-ish weights on [R,128] from local floor lg and frac f [1,128]."""
+    return (jnp.where(iota_rows == lg, 1.0 - f, 0.0)
+            + jnp.where(iota_rows == lg + 1.0, f, 0.0))
+
+
+def _local_fracs(x_ref, base_ref, scale, shift):
+    """Shared fwd/bwd prologue: local floors + fracs for one tile."""
+    px = x_ref[0:1, :] * scale + shift
+    py = x_ref[1:2, :] * scale + shift
+    pz = x_ref[2:3, :] * scale + shift
+    gx = jnp.floor(px); fx = px - gx
+    gy = jnp.floor(py); fy = py - gy
+    gz = jnp.floor(pz); fz = pz - gz
+    lgx = gx - 8.0 * base_ref[0, 0].astype(jnp.float32)
+    lgy = gy - 8.0 * base_ref[0, 1].astype(jnp.float32)
+    lgz = gz - 8.0 * base_ref[0, 2].astype(jnp.float32)
+    return (lgx, fx), (lgy, fy), (lgz, fz)
+
+
+def _iotas():
+    """[64,128] row -> (y = j%8, z = j//8) site coords; [48,128] row -> x."""
+    j = jax.lax.broadcasted_iota(jnp.float32, (64, 128), 0)
+    iy = j % 8.0
+    iz = jnp.floor(j / 8.0)
+    r = jax.lax.broadcasted_iota(jnp.float32, (48, 128), 0)
+    ix = r % 8.0 + 8.0 * jnp.floor(r / 24.0)        # row = sx*24 + c*8 + x
+    return iy, iz, ix
+
+
+def _fwd_kernel(scale, shift, x_ref, base_ref, rows_ref, tab_ref, out_ref):
+    (lgx, fx), (lgy, fy), (lgz, fz) = _local_fracs(x_ref, base_ref, scale, shift)
+    iy, iz, ix = _iotas()
+
+    m = jnp.zeros((48, 128), jnp.float32)
+    for sy in (0, 1):
+        wyp = _axis_w(iy + 8.0 * sy, lgy, fy)                    # [64,128]
+        for sz in (0, 1):
+            wzp = _axis_w(iz + 8.0 * sz, lgz, fz)
+            rhs = wyp * wzp
+            s0 = 2 * sy + 4 * sz
+            lhs = jnp.concatenate(
+                [tab_ref[rows_ref[0, s0]], tab_ref[rows_ref[0, s0 + 1]]],
+                axis=0)                                          # [48,64]
+            m = m + jax.lax.dot_general(
+                lhs, rhs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    wx48 = _axis_w(ix, lgx, fx)                                  # [48,128]
+    p = m * wx48
+    for c in range(3):
+        out_ref[c:c + 1, :] = jnp.sum(
+            p[c * 8:(c + 1) * 8] + p[24 + c * 8:32 + c * 8],
+            axis=0, keepdims=True)
+    out_ref[3:8, :] = jnp.zeros((5, 128), jnp.float32)
+
+
+def _bwd_kernel(scale, shift, x_ref, base_ref, rows_ref, g_ref, dtab_ref):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        dtab_ref[...] = jnp.zeros_like(dtab_ref)
+
+    (lgx, fx), (lgy, fy), (lgz, fz) = _local_fracs(x_ref, base_ref, scale, shift)
+    iy, iz, ix = _iotas()
+
+    g24 = jnp.concatenate(
+        [jnp.broadcast_to(g_ref[c:c + 1, :], (8, 128)) for c in range(3)],
+        axis=0)                                                  # rows c*8+x
+    gx48 = jnp.concatenate([g24, g24], axis=0) * _axis_w(ix, lgx, fx)
+
+    for sy in (0, 1):
+        wyp = _axis_w(iy + 8.0 * sy, lgy, fy)
+        for sz in (0, 1):
+            wzp = _axis_w(iz + 8.0 * sz, lgz, fz)
+            rhs = wyp * wzp                                      # [64,128]
+            dt = jax.lax.dot_general(
+                gx48, rhs, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)              # [48,64]
+            s0 = 2 * sy + 4 * sz
+            r0 = rows_ref[0, s0]
+            r1 = rows_ref[0, s0 + 1]
+            # sequential read-modify-writes stay correct under window-id
+            # collisions between the two sx slots
+            dtab_ref[r0] = dtab_ref[r0] + dt[0:24]
+            dtab_ref[r1] = dtab_ref[r1] + dt[24:48]
+
+
+def _level_pallas_fwd(x_t, bases, rows, tab_l, spec, l, interpret=False):
+    n_tiles = x_t.shape[0] // 8
+    n_win = tab_l.shape[0]
+    scale = _level_consts(spec, l)[4]
+    shift = 0.0 if spec.align_corners else 0.5
+    return pl.pallas_call(
+        partial(_fwd_kernel, scale, shift),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, TILE), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_win, 24, 64), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, TILE), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, TILE), jnp.float32),
+        interpret=interpret,
+    )(x_t, bases, rows, tab_l)
+
+
+def _level_pallas_bwd(x_t, bases, rows, g_t, n_win, spec, l, interpret=False):
+    n_tiles = x_t.shape[0] // 8
+    scale = _level_consts(spec, l)[4]
+    shift = 0.0 if spec.align_corners else 0.5
+    return pl.pallas_call(
+        partial(_bwd_kernel, scale, shift),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, TILE), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, TILE), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_win, 24, 64), lambda t: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_win, 24, 64), jnp.float32),
+        interpret=interpret,
+    )(x_t, bases, rows, g_t)
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp in-window op (kernel fwd + kernel bwd); residual is plain JAX
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _inwin(splat, x_t, bases, rows, spec, interpret):
+    return _inwin_fwd_impl(splat, x_t, bases, rows, spec, interpret)
+
+
+def _inwin_fwd_impl(splat, x_t, bases, rows, spec, interpret):
+    woffs = window_offsets(spec)
+    outs = []
+    for l in range(spec.num_levels):
+        tab_l = jax.lax.slice_in_dim(splat, int(woffs[l]), int(woffs[l + 1]))
+        outs.append(_level_pallas_fwd(x_t, bases[l], rows[l], tab_l,
+                                      spec, l, interpret))
+    return jnp.stack(outs, axis=0)                  # [L, n_tiles*8, 128]
+
+
+def _inwin_fwd(splat, x_t, bases, rows, spec, interpret):
+    out = _inwin_fwd_impl(splat, x_t, bases, rows, spec, interpret)
+    return out, (x_t, bases, rows)
+
+
+def _inwin_bwd(spec, interpret, res, g):
+    x_t, bases, rows = res
+    wc = window_counts(spec)
+    dts = []
+    for l in range(spec.num_levels):
+        dts.append(_level_pallas_bwd(x_t, bases[l], rows[l], g[l],
+                                     int(wc[l]), spec, l, interpret))
+    dsplat = jnp.concatenate(dts, axis=0)
+    return dsplat, jnp.zeros_like(x_t), None, None
+
+
+_inwin.defvjp(_inwin_fwd, _inwin_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public op
+# ---------------------------------------------------------------------------
+
+def _corner_geometry(xc, spec):
+    """Canonical corner indices + weights + residual mask for clipped pts.
+
+    xc: [N, 3] in [0,1].  Returns idx [N, L*8] int32, w_resid [N, L*8]
+    (weights zeroed on in-window corners).
+    """
+    N = xc.shape[0]
+    L = spec.num_levels
+    scales = jnp.asarray([spec.level_scale(l) for l in range(L)], jnp.float32)
+    shift = 0.0 if spec.align_corners else 0.5
+    pos = xc[:, None, :] * scales[None, :, None] + shift
+    pg = jnp.floor(pos)
+    frac = pos - pg
+    corners = _corner_offsets(3)
+    cgrid = pg.astype(jnp.uint32)[:, :, None, :] \
+        + jnp.asarray(corners)[None, None]
+    idx = _corner_indices(cgrid, spec).reshape(N, L * 8)
+    cm = jnp.asarray(corners.astype(np.float32))
+    w = jnp.prod(cm[None, None] * frac[:, :, None, :]
+                 + (1 - cm[None, None]) * (1 - frac[:, :, None, :]),
+                 -1).reshape(N, L * 8)
+
+    # in-window test against the per-tile base blocks
+    tiles = xc.reshape(-1, TILE, 3)
+    masks = []
+    for l in range(L):
+        base, _ = tile_meta(tiles, spec, l)
+        basef = 8.0 * base.astype(jnp.float32)                   # [T,3]
+        basef = jnp.repeat(basef, TILE, axis=0)                  # [N,3]
+        local = (pg[:, l, None, :] + jnp.asarray(corners, jnp.float32)[None]
+                 - basef[:, None, :])                            # [N,8,3]
+        masks.append(jnp.all((local >= 0) & (local < 16), axis=-1))
+    inw = jnp.stack(masks, axis=1).reshape(N, L * 8)
+    return idx, jnp.where(inw, 0.0, w)
+
+
+def splat_encode_raw(table: jax.Array, x01: jax.Array, spec: HashGridSpec,
+                     resid_budget: int = 1 << 17,
+                     interpret: bool = False):
+    """Exact hashgrid encode via the splat kernels + budgeted residual.
+
+    x01: [N, 3]; N must be a multiple of TILE (caller pads).  The caller is
+    responsible for spatial ordering (morton-sort) — the op is EXACT either
+    way, but unsorted inputs shift corners to the budgeted residual path;
+    past the budget the tail is dropped, surfaced via resid_count.
+
+    Returns (feat [N, L*C], resid_count scalar int32 — compare against
+    resid_budget to detect overflow).  No gradients flow to x01 (stage-0
+    positions are not differentiated; stage-1 offset-nerf-grad keeps the
+    gather path).
+    """
+    x01 = jax.lax.stop_gradient(x01)
+    N = x01.shape[0]
+    assert N % TILE == 0
+    L, C = spec.num_levels, spec.level_dim
+    T = N // TILE
+
+    xc = jnp.clip(x01.astype(jnp.float32), 0.0, 1.0)
+    oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)
+
+    tiles = xc.reshape(T, TILE, 3)
+    bases, rows = [], []
+    for l in range(L):
+        b, r = tile_meta(tiles, spec, l)
+        bases.append(b)
+        rows.append(r)
+    bases = jnp.stack(bases)                                     # [L,T,3]
+    rows = jnp.stack(rows)                                       # [L,T,8]
+
+    # kernel point layout: [T*8, 128], xyz in sublanes 0..2
+    x_t = tiles.transpose(0, 2, 1)                               # [T,3,128]
+    x_t = jnp.pad(x_t, ((0, 0), (0, 5), (0, 0))).reshape(T * 8, TILE)
+
+    k = _inwin(to_splat(table, spec), x_t, bases, rows, spec, interpret)
+    # [L, T*8, 128] -> [N, L, C]
+    feat = k.reshape(L, T, 8, TILE)[:, :, :C]                    # [L,T,C,128]
+    feat = feat.transpose(1, 3, 0, 2).reshape(N, L, C)
+
+    # budgeted exact residual (plain JAX: autodiff gives the scatter bwd)
+    idx, w = _corner_geometry(xc, spec)                          # [N, L*8]
+    w = jnp.where(oob[:, None], 0.0, w)
+    resid_mask = (w != 0.0).reshape(-1)
+    resid_count = jnp.sum(resid_mask, dtype=jnp.int32)
+    B = int(resid_budget)
+    (ids,) = jnp.nonzero(resid_mask, size=B, fill_value=0)
+    valid = (jnp.arange(B) < resid_count).astype(jnp.float32)
+    w_k = jnp.take(w.reshape(-1), ids) * valid                   # [B]
+    idx_k = jnp.take(idx.reshape(-1), ids)
+    p_k = ids // (L * 8)
+    l_k = (ids // 8) % L
+    vals = jnp.take(table, idx_k, axis=0)                        # [B, C]
+    feat = feat.at[p_k, l_k].add(w_k[:, None] * vals)
+
+    feat = jnp.where(oob[:, None, None], 0.0, feat)
+    return feat.reshape(N, L * C), jax.lax.stop_gradient(resid_count)
+

@@ -1,0 +1,171 @@
+"""Splat-contraction encoder: layout + exactness vs hashgrid_encode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf2mesh_tpu.ops.hashgrid import (HashGridSpec, hashgrid_encode,
+                                        init_hashgrid, _corner_indices,
+                                        _corner_offsets)
+from nerf2mesh_tpu.ops import splat_encode as se
+
+
+def small_spec(**kw):
+    kw.setdefault("num_levels", 6)
+    kw.setdefault("level_dim", 3)
+    kw.setdefault("log2_hashmap_size", 13)
+    kw.setdefault("desired_resolution", 256)
+    return HashGridSpec(layout="block512", **kw)
+
+
+def test_splat_layout_roundtrip():
+    spec = small_spec()
+    table = init_hashgrid(jax.random.PRNGKey(0), spec)
+    splat = se.to_splat(table, spec)
+    assert splat.shape == (int(se.window_counts(spec).sum()), 24, 64)
+    back = se.from_splat(splat, spec)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(table))
+
+
+def test_splat_layout_indexing():
+    """splat[woff+win, c*8+x, 8z+y] == table[off + win*512 + x+8y+64z, c]."""
+    spec = small_spec()
+    table = init_hashgrid(jax.random.PRNGKey(0), spec)
+    splat = np.asarray(se.to_splat(table, spec))
+    tab = np.asarray(table)
+    offs = spec.offsets
+    woffs = se.window_offsets(spec)
+    rng = np.random.default_rng(0)
+    for l in [0, 3, 5]:
+        n_win = int(se.window_counts(spec)[l])
+        for _ in range(20):
+            win = rng.integers(n_win)
+            x, y, z, c = rng.integers(8), rng.integers(8), rng.integers(8), rng.integers(3)
+            a = splat[woffs[l] + win, c * 8 + x, 8 * z + y]
+            b = tab[offs[l] + win * 512 + x + 8 * y + 64 * z, c]
+            assert a == b
+
+
+def _residual_feat(table, x_tiles, spec):
+    """Out-of-window corner contributions via the canonical gather."""
+    T, P, _ = x_tiles.shape
+    L, C = spec.num_levels, spec.level_dim
+    x = x_tiles.reshape(-1, 3).astype(jnp.float32)
+    scales = jnp.asarray([spec.level_scale(l) for l in range(L)], jnp.float32)
+    shift = 0.0 if spec.align_corners else 0.5
+    pos = x[:, None, :] * scales[None, :, None] + shift
+    pg = jnp.floor(pos)
+    frac = pos - pg
+    corners = _corner_offsets(3)
+    cg = pg.astype(jnp.uint32)[:, :, None, :] + jnp.asarray(corners)[None, None]
+    idx = _corner_indices(cg, spec)                                  # [N,L,8]
+    cm = jnp.asarray(corners.astype(np.float32))
+    w = jnp.prod(cm[None, None] * frac[:, :, None, :]
+                 + (1 - cm[None, None]) * (1 - frac[:, :, None, :]), -1)
+    inw = se.inwindow_mask(x_tiles, spec).reshape(-1, L, 8)
+    w = jnp.where(inw, 0.0, w)
+    feat = jnp.zeros((x.shape[0], L, C))
+    for c in range(C):
+        v = jnp.take(table[:, c], idx.reshape(-1), axis=0).reshape(-1, L, 8)
+        feat = feat.at[:, :, c].set(jnp.sum(w * v, -1))
+    return feat.reshape(T, P, L, C)
+
+
+@pytest.mark.parametrize("local", [True, False])
+def test_window_plus_residual_equals_canonical(local):
+    """kernel-math (XLA oracle) + residual == hashgrid_encode, whether or not
+    points are spatially local."""
+    spec = small_spec()
+    key = jax.random.PRNGKey(1)
+    table = init_hashgrid(key, spec)
+    T, P = 4, se.TILE
+    if local:
+        # tight clusters -> most corners in-window
+        centers = jax.random.uniform(key, (T, 1, 3), minval=0.1, maxval=0.9)
+        pts = centers + jax.random.uniform(
+            jax.random.PRNGKey(2), (T, P, 3), minval=0, maxval=0.02)
+    else:
+        pts = jax.random.uniform(key, (T, P, 3))
+    pts = jnp.clip(pts, 0.0, 1.0)
+
+    inw = se.windowed_reference(table, pts, spec)                    # [T,P,L,C]
+    res = _residual_feat(table, pts, spec)
+    got = (inw + res).reshape(T * P, -1)
+
+    want = hashgrid_encode(table, pts.reshape(-1, 3), spec)
+    L, C = spec.num_levels, spec.level_dim
+    want = want.reshape(T * P, L, C).reshape(T * P, -1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
+    if local:
+        # sanity: locality actually put most corners in-window
+        frac_in = float(se.inwindow_mask(pts, spec).mean())
+        assert frac_in > 0.9
+
+
+def _mixed_points(key, T, P):
+    """Half the tiles local clusters, half fully random."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    centers = jax.random.uniform(k1, (T // 2, 1, 3), minval=0.1, maxval=0.9)
+    local = centers + jax.random.uniform(k2, (T // 2, P, 3),
+                                         minval=0, maxval=0.03)
+    rnd = jax.random.uniform(k3, (T - T // 2, P, 3))
+    return jnp.clip(jnp.concatenate([local, rnd], 0), 0, 1).reshape(-1, 3)
+
+
+def test_splat_kernel_forward_exact():
+    """Pallas fwd (interpret) + residual == hashgrid_encode."""
+    spec = small_spec()
+    table = init_hashgrid(jax.random.PRNGKey(0), spec)
+    pts = _mixed_points(jax.random.PRNGKey(1), 4, se.TILE)
+    feat, cnt = se.splat_encode_raw(table, pts, spec,
+                                    resid_budget=1 << 15, interpret=True)
+    want = hashgrid_encode(table, pts, spec)
+    assert int(cnt) < (1 << 15)
+    np.testing.assert_allclose(np.asarray(feat), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_splat_kernel_oob_zero():
+    spec = small_spec()
+    table = init_hashgrid(jax.random.PRNGKey(0), spec)
+    pts = np.array(_mixed_points(jax.random.PRNGKey(1), 2, se.TILE))
+    pts[7] = [1.7, 0.3, 0.2]
+    pts[200] = [-0.1, 0.5, 0.5]
+    feat, _ = se.splat_encode_raw(table, jnp.asarray(pts), spec,
+                                  resid_budget=1 << 15, interpret=True)
+    assert np.all(np.asarray(feat[7]) == 0)
+    assert np.all(np.asarray(feat[200]) == 0)
+
+
+def test_splat_kernel_table_grads():
+    """d(table) through the Pallas bwd kernel + residual == XLA autodiff."""
+    spec = small_spec()
+    table = init_hashgrid(jax.random.PRNGKey(0), spec)
+    pts = _mixed_points(jax.random.PRNGKey(2), 4, se.TILE)
+    g = jax.random.normal(jax.random.PRNGKey(3),
+                          (pts.shape[0], spec.output_dim))
+
+    def loss_splat(t):
+        f, _ = se.splat_encode_raw(t, pts, spec, resid_budget=1 << 15,
+                                   interpret=True)
+        return jnp.sum(f * g)
+
+    def loss_ref(t):
+        return jnp.sum(hashgrid_encode(t, pts, spec) * g)
+
+    d_s = jax.grad(loss_splat)(table)
+    d_r = jax.grad(loss_ref)(table)
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_r),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_splat_budget_overflow_is_counted():
+    spec = small_spec()
+    table = init_hashgrid(jax.random.PRNGKey(0), spec)
+    pts = jnp.clip(jax.random.uniform(jax.random.PRNGKey(1),
+                                      (2 * se.TILE, 3)), 0, 1)
+    _, cnt = se.splat_encode_raw(table, pts, spec, resid_budget=64,
+                                 interpret=True)
+    assert int(cnt) > 64      # random points overflow a tiny budget, loudly

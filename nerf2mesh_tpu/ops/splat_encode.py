@@ -207,7 +207,7 @@ def _axis_w(iota_rows, lg, f):
             + jnp.where(iota_rows == lg + 1.0, f, 0.0))
 
 
-def _local_fracs(x_ref, base_ref, scale, shift):
+def _local_fracs(x_ref, base_ref, t, scale, shift):
     """Shared fwd/bwd prologue: local floors + fracs for one tile."""
     px = x_ref[0:1, :] * scale + shift
     py = x_ref[1:2, :] * scale + shift
@@ -215,24 +215,26 @@ def _local_fracs(x_ref, base_ref, scale, shift):
     gx = jnp.floor(px); fx = px - gx
     gy = jnp.floor(py); fy = py - gy
     gz = jnp.floor(pz); fz = pz - gz
-    lgx = gx - 8.0 * base_ref[0, 0].astype(jnp.float32)
-    lgy = gy - 8.0 * base_ref[0, 1].astype(jnp.float32)
-    lgz = gz - 8.0 * base_ref[0, 2].astype(jnp.float32)
+    lgx = gx - 8.0 * base_ref[3 * t].astype(jnp.float32)
+    lgy = gy - 8.0 * base_ref[3 * t + 1].astype(jnp.float32)
+    lgz = gz - 8.0 * base_ref[3 * t + 2].astype(jnp.float32)
     return (lgx, fx), (lgy, fy), (lgz, fz)
 
 
 def _iotas():
     """[64,128] row -> (y = j%8, z = j//8) site coords; [48,128] row -> x."""
-    j = jax.lax.broadcasted_iota(jnp.float32, (64, 128), 0)
-    iy = j % 8.0
-    iz = jnp.floor(j / 8.0)
-    r = jax.lax.broadcasted_iota(jnp.float32, (48, 128), 0)
-    ix = r % 8.0 + 8.0 * jnp.floor(r / 24.0)        # row = sx*24 + c*8 + x
+    j = jax.lax.broadcasted_iota(jnp.int32, (64, 128), 0)
+    iy = (j & 7).astype(jnp.float32)
+    iz = (j >> 3).astype(jnp.float32)
+    r = jax.lax.broadcasted_iota(jnp.int32, (48, 128), 0)
+    ix = ((r & 7) + 8 * (r // 24)).astype(jnp.float32)  # row = sx*24+c*8+x
     return iy, iz, ix
 
 
-def _fwd_kernel(scale, shift, x_ref, base_ref, rows_ref, tab_ref, out_ref):
-    (lgx, fx), (lgy, fy), (lgz, fz) = _local_fracs(x_ref, base_ref, scale, shift)
+def _fwd_kernel(scale, shift, base_ref, rows_ref, x_ref, tab_ref, out_ref):
+    t = pl.program_id(0)
+    (lgx, fx), (lgy, fy), (lgz, fz) = _local_fracs(x_ref, base_ref, t,
+                                                   scale, shift)
     iy, iz, ix = _iotas()
 
     m = jnp.zeros((48, 128), jnp.float32)
@@ -243,7 +245,7 @@ def _fwd_kernel(scale, shift, x_ref, base_ref, rows_ref, tab_ref, out_ref):
             rhs = wyp * wzp
             s0 = 2 * sy + 4 * sz
             lhs = jnp.concatenate(
-                [tab_ref[rows_ref[0, s0]], tab_ref[rows_ref[0, s0 + 1]]],
+                [tab_ref[rows_ref[8 * t + s0]], tab_ref[rows_ref[8 * t + s0 + 1]]],
                 axis=0)                                          # [48,64]
             m = m + jax.lax.dot_general(
                 lhs, rhs, (((1,), (0,)), ((), ())),
@@ -258,14 +260,15 @@ def _fwd_kernel(scale, shift, x_ref, base_ref, rows_ref, tab_ref, out_ref):
     out_ref[3:8, :] = jnp.zeros((5, 128), jnp.float32)
 
 
-def _bwd_kernel(scale, shift, x_ref, base_ref, rows_ref, g_ref, dtab_ref):
+def _bwd_kernel(scale, shift, base_ref, rows_ref, x_ref, g_ref, dtab_ref):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
     def _():
         dtab_ref[...] = jnp.zeros_like(dtab_ref)
 
-    (lgx, fx), (lgy, fy), (lgz, fz) = _local_fracs(x_ref, base_ref, scale, shift)
+    (lgx, fx), (lgy, fy), (lgz, fz) = _local_fracs(x_ref, base_ref, t,
+                                                   scale, shift)
     iy, iz, ix = _iotas()
 
     g24 = jnp.concatenate(
@@ -282,8 +285,8 @@ def _bwd_kernel(scale, shift, x_ref, base_ref, rows_ref, g_ref, dtab_ref):
                 gx48, rhs, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)              # [48,64]
             s0 = 2 * sy + 4 * sz
-            r0 = rows_ref[0, s0]
-            r1 = rows_ref[0, s0 + 1]
+            r0 = rows_ref[8 * t + s0]
+            r1 = rows_ref[8 * t + s0 + 1]
             # sequential read-modify-writes stay correct under window-id
             # collisions between the two sx slots
             dtab_ref[r0] = dtab_ref[r0] + dt[0:24]
@@ -295,82 +298,85 @@ def _level_pallas_fwd(x_t, bases, rows, tab_l, spec, l, interpret=False):
     n_win = tab_l.shape[0]
     scale = _level_consts(spec, l)[4]
     shift = 0.0 if spec.align_corners else 0.5
-    return pl.pallas_call(
-        partial(_fwd_kernel, scale, shift),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,            # bases, rows (whole arrays in SMEM)
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((8, TILE), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3), lambda t: (t, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8), lambda t: (t, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((n_win, 24, 64), lambda t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE), lambda t, b, r: (t, 0)),
+            pl.BlockSpec((n_win, 24, 64), lambda t, b, r: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((8, TILE), lambda t: (t, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((8, TILE), lambda t, b, r: (t, 0)),
+    )
+    return pl.pallas_call(
+        partial(_fwd_kernel, scale, shift),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles * 8, TILE), jnp.float32),
         interpret=interpret,
-    )(x_t, bases, rows, tab_l)
+    )(bases.reshape(-1), rows.reshape(-1), x_t, tab_l)
 
 
 def _level_pallas_bwd(x_t, bases, rows, g_t, n_win, spec, l, interpret=False):
     n_tiles = x_t.shape[0] // 8
     scale = _level_consts(spec, l)[4]
     shift = 0.0 if spec.align_corners else 0.5
-    return pl.pallas_call(
-        partial(_bwd_kernel, scale, shift),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((8, TILE), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3), lambda t: (t, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8), lambda t: (t, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, TILE), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE), lambda t, b, r: (t, 0)),
+            pl.BlockSpec((8, TILE), lambda t, b, r: (t, 0)),
         ],
-        out_specs=pl.BlockSpec((n_win, 24, 64), lambda t: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((n_win, 24, 64), lambda t, b, r: (0, 0, 0)),
+    )
+    return pl.pallas_call(
+        partial(_bwd_kernel, scale, shift),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_win, 24, 64), jnp.float32),
         interpret=interpret,
-    )(x_t, bases, rows, g_t)
+    )(bases.reshape(-1), rows.reshape(-1), x_t, g_t)
 
 
 # ---------------------------------------------------------------------------
 # custom-vjp in-window op (kernel fwd + kernel bwd); residual is plain JAX
 # ---------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _inwin(splat, x_t, bases, rows, spec, interpret):
-    return _inwin_fwd_impl(splat, x_t, bases, rows, spec, interpret)
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _inwin(splat, x_t, bases, rows, spec, levels, interpret):
+    return _inwin_fwd_impl(splat, x_t, bases, rows, spec, levels, interpret)
 
 
-def _inwin_fwd_impl(splat, x_t, bases, rows, spec, interpret):
+def _inwin_fwd_impl(splat, x_t, bases, rows, spec, levels, interpret):
     woffs = window_offsets(spec)
     outs = []
-    for l in range(spec.num_levels):
+    for i, l in enumerate(levels):
         tab_l = jax.lax.slice_in_dim(splat, int(woffs[l]), int(woffs[l + 1]))
-        outs.append(_level_pallas_fwd(x_t, bases[l], rows[l], tab_l,
+        outs.append(_level_pallas_fwd(x_t, bases[i], rows[i], tab_l,
                                       spec, l, interpret))
-    return jnp.stack(outs, axis=0)                  # [L, n_tiles*8, 128]
+    return jnp.stack(outs, axis=0)              # [len(levels), n_tiles*8, 128]
 
 
-def _inwin_fwd(splat, x_t, bases, rows, spec, interpret):
-    out = _inwin_fwd_impl(splat, x_t, bases, rows, spec, interpret)
+def _inwin_fwd(splat, x_t, bases, rows, spec, levels, interpret):
+    out = _inwin_fwd_impl(splat, x_t, bases, rows, spec, levels, interpret)
     return out, (x_t, bases, rows)
 
 
-def _inwin_bwd(spec, interpret, res, g):
+def _inwin_bwd(spec, levels, interpret, res, g):
     x_t, bases, rows = res
     wc = window_counts(spec)
+    woffs = window_offsets(spec)
+    Wtot = int(woffs[-1])
+    parts = {}
+    for i, l in enumerate(levels):
+        parts[l] = _level_pallas_bwd(x_t, bases[i], rows[i], g[i],
+                                     int(wc[l]), spec, l, interpret)
     dts = []
     for l in range(spec.num_levels):
-        dts.append(_level_pallas_bwd(x_t, bases[l], rows[l], g[l],
-                                     int(wc[l]), spec, l, interpret))
+        if l in parts:
+            dts.append(parts[l])
+        else:
+            dts.append(jnp.zeros((int(wc[l]), 24, 64), jnp.float32))
     dsplat = jnp.concatenate(dts, axis=0)
+    assert dsplat.shape[0] == Wtot
     return dsplat, jnp.zeros_like(x_t), None, None
 
 
@@ -378,14 +384,41 @@ _inwin.defvjp(_inwin_fwd, _inwin_bwd)
 
 
 # ---------------------------------------------------------------------------
+# fine-level gather path with a scatter-controlled backward
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def gather_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """take(table, idx, axis=0) whose backward is C separate width-1
+    scatter-adds — measured ~2x faster than XLA's width-C scatter on this
+    backend (workspace/ab/microbench_scatter.py)."""
+    return jnp.take(table, idx, axis=0)
+
+
+def _gather_rows_fwd(table, idx):
+    return jnp.take(table, idx, axis=0), (idx, table.shape)
+
+
+def _gather_rows_bwd(res, g):
+    idx, tshape = res
+    cols = [jnp.zeros((tshape[0],), g.dtype).at[idx].add(g[:, c])
+            for c in range(tshape[1])]
+    return jnp.stack(cols, axis=-1), None
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
+# ---------------------------------------------------------------------------
 # public op
 # ---------------------------------------------------------------------------
 
-def _corner_geometry(xc, spec):
+def _corner_geometry(xc, spec, bases):
     """Canonical corner indices + weights + residual mask for clipped pts.
 
-    xc: [N, 3] in [0,1].  Returns idx [N, L*8] int32, w_resid [N, L*8]
-    (weights zeroed on in-window corners).
+    xc: [N, 3] in [0,1]; bases: [L, T, 3] per-level tile base blocks.
+    Returns (idx [N, L*8] int32, w_all [N, L*8], w_resid [N, L*8] — weights
+    zeroed on in-window corners).
     """
     N = xc.shape[0]
     L = spec.num_levels
@@ -404,76 +437,216 @@ def _corner_geometry(xc, spec):
                  -1).reshape(N, L * 8)
 
     # in-window test against the per-tile base blocks
-    tiles = xc.reshape(-1, TILE, 3)
     masks = []
     for l in range(L):
-        base, _ = tile_meta(tiles, spec, l)
+        base = bases[l]
         basef = 8.0 * base.astype(jnp.float32)                   # [T,3]
         basef = jnp.repeat(basef, TILE, axis=0)                  # [N,3]
         local = (pg[:, l, None, :] + jnp.asarray(corners, jnp.float32)[None]
                  - basef[:, None, :])                            # [N,8,3]
         masks.append(jnp.all((local >= 0) & (local < 16), axis=-1))
     inw = jnp.stack(masks, axis=1).reshape(N, L * 8)
-    return idx, jnp.where(inw, 0.0, w)
+    return idx, w, jnp.where(inw, 0.0, w)
+
+
+def _fallback_feat(table, idx, w_all, oob, spec):
+    """Full-gather encode reusing precomputed corner geometry (the old XLA
+    path, taken only when the residual overflows its budget)."""
+    N = idx.shape[0]
+    L, C = spec.num_levels, spec.level_dim
+    w = jnp.where(oob[:, None], 0.0, w_all)
+    flat = idx.reshape(-1)
+    feat = jnp.zeros((N, L, C))
+    for c in range(C):
+        v = jnp.take(table[:, c], flat, axis=0).reshape(N, L, 8)
+        feat = feat.at[:, :, c].set(jnp.sum(w.reshape(N, L, 8) * v, -1))
+    return feat
 
 
 def splat_encode_raw(table: jax.Array, x01: jax.Array, spec: HashGridSpec,
                      resid_budget: int = 1 << 17,
+                     gather_levels: Tuple[int, ...] = (),
                      interpret: bool = False):
-    """Exact hashgrid encode via the splat kernels + budgeted residual.
+    """Exact hashgrid encode: splat kernels + budgeted residual, with
+    per-level routing.
 
-    x01: [N, 3]; N must be a multiple of TILE (caller pads).  The caller is
-    responsible for spatial ordering (morton-sort) — the op is EXACT either
-    way, but unsorted inputs shift corners to the budgeted residual path;
-    past the budget the tail is dropped, surfaced via resid_count.
+    Levels in `gather_levels` (static) skip the kernel entirely and use the
+    plain gather — the right choice for fine levels whose lattice is too
+    fine for 128-point window locality (the trainer probes per-level
+    residual rates and picks the routing).  The remaining (kernel) levels
+    share one budgeted residual; if their combined residual count exceeds
+    `resid_budget`, the whole kernel group falls back (lax.cond) to the
+    gather path — slow but never wrong.
 
-    Returns (feat [N, L*C], resid_count scalar int32 — compare against
-    resid_budget to detect overflow).  No gradients flow to x01 (stage-0
-    positions are not differentiated; stage-1 offset-nerf-grad keeps the
-    gather path).
+    x01: [N, 3]; N must be a multiple of TILE (caller pads); caller is
+    responsible for morton ordering (see splat_encode).
+
+    Returns (feat [N, L*C], resid_counts [L] int32 per-level out-of-window
+    corner counts — the routing probe signal; gather-routed levels report
+    their full corner count).  No gradients flow to x01.
     """
     x01 = jax.lax.stop_gradient(x01)
     N = x01.shape[0]
     assert N % TILE == 0
     L, C = spec.num_levels, spec.level_dim
     T = N // TILE
+    k_levels = tuple(l for l in range(L) if l not in gather_levels)
 
     xc = jnp.clip(x01.astype(jnp.float32), 0.0, 1.0)
     oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)
 
     tiles = xc.reshape(T, TILE, 3)
-    bases, rows = [], []
+    bases_all, rows_all = [], []
     for l in range(L):
         b, r = tile_meta(tiles, spec, l)
-        bases.append(b)
-        rows.append(r)
-    bases = jnp.stack(bases)                                     # [L,T,3]
-    rows = jnp.stack(rows)                                       # [L,T,8]
+        bases_all.append(b)
+        rows_all.append(r)
 
-    # kernel point layout: [T*8, 128], xyz in sublanes 0..2
-    x_t = tiles.transpose(0, 2, 1)                               # [T,3,128]
-    x_t = jnp.pad(x_t, ((0, 0), (0, 5), (0, 0))).reshape(T * 8, TILE)
-
-    k = _inwin(to_splat(table, spec), x_t, bases, rows, spec, interpret)
-    # [L, T*8, 128] -> [N, L, C]
-    feat = k.reshape(L, T, 8, TILE)[:, :, :C]                    # [L,T,C,128]
-    feat = feat.transpose(1, 3, 0, 2).reshape(N, L, C)
-
-    # budgeted exact residual (plain JAX: autodiff gives the scatter bwd)
-    idx, w = _corner_geometry(xc, spec)                          # [N, L*8]
+    idx, w_all, w = _corner_geometry(
+        xc, spec, jnp.stack(bases_all))                          # [N, L*8]
     w = jnp.where(oob[:, None], 0.0, w)
-    resid_mask = (w != 0.0).reshape(-1)
-    resid_count = jnp.sum(resid_mask, dtype=jnp.int32)
-    B = int(resid_budget)
-    (ids,) = jnp.nonzero(resid_mask, size=B, fill_value=0)
-    valid = (jnp.arange(B) < resid_count).astype(jnp.float32)
-    w_k = jnp.take(w.reshape(-1), ids) * valid                   # [B]
-    idx_k = jnp.take(idx.reshape(-1), ids)
-    p_k = ids // (L * 8)
-    l_k = (ids // 8) % L
-    vals = jnp.take(table, idx_k, axis=0)                        # [B, C]
-    feat = feat.at[p_k, l_k].add(w_k[:, None] * vals)
+    w_all = jnp.where(oob[:, None], 0.0, w_all)
+    w3 = w.reshape(N, L, 8)
+    resid_counts = jnp.sum(w3 != 0.0, axis=(0, 2), dtype=jnp.int32)  # [L]
+    # gather-routed levels: report total touched corners (their full cost)
+    wa3 = w_all.reshape(N, L, 8)
+    full_counts = jnp.sum(wa3 != 0.0, axis=(0, 2), dtype=jnp.int32)
+    lvl_gather = jnp.asarray([l in gather_levels for l in range(L)])
+    resid_counts = jnp.where(lvl_gather, full_counts, resid_counts)
 
+    by_level = {}
+
+    # --- gather-routed levels (one fused gather over their corners)
+    if gather_levels:
+        gl = list(gather_levels)
+        idx_g = jnp.concatenate(
+            [idx.reshape(N, L, 8)[:, l] for l in gl], axis=1).reshape(-1)
+        w_g = jnp.concatenate(
+            [wa3[:, l] for l in gl], axis=1).reshape(-1)
+        vals = gather_rows(table, idx_g)                         # [N*G*8, C]
+        contrib = (w_g[:, None] * vals).reshape(N, len(gl), 8, C).sum(2)
+        for i, l in enumerate(gl):
+            by_level[l] = contrib[:, i]
+
+    if k_levels:
+        kmask = jnp.asarray([l in k_levels for l in range(L)])
+        k_count = jnp.sum(jnp.where(kmask, resid_counts, 0))
+        B = int(resid_budget)
+        # level id -> kernel slot (gather levels park at slot 0 with w=0)
+        lmap = np.zeros((L,), np.int32)
+        for i, l in enumerate(k_levels):
+            lmap[l] = i
+
+        def fast_branch(table):
+            # kernel point layout: [T*8, 128], xyz in sublanes 0..2
+            x_t = tiles.transpose(0, 2, 1)                       # [T,3,128]
+            x_t = jnp.pad(x_t, ((0, 0), (0, 5), (0, 0))).reshape(T * 8, TILE)
+            bases = jnp.stack([bases_all[l] for l in k_levels])
+            rows = jnp.stack([rows_all[l] for l in k_levels])
+            k = _inwin(to_splat(table, spec), x_t, bases, rows, spec,
+                       k_levels, interpret)
+            kf = k.reshape(len(k_levels), T, 8, TILE)[:, :, :C]
+            kf = kf.transpose(1, 3, 0, 2).reshape(N, len(k_levels), C)
+
+            # budgeted exact residual over kernel levels only
+            wk = jnp.where(kmask[None, :, None], w3, 0.0).reshape(-1)
+            (ids,) = jnp.nonzero(wk != 0.0, size=B, fill_value=0)
+            valid = (jnp.arange(B) < k_count).astype(jnp.float32)
+            w_r = jnp.take(wk, ids) * valid                      # [B]
+            idx_r = jnp.take(idx.reshape(-1), ids)
+            p_r = ids // (L * 8)
+            l_r = jnp.take(jnp.asarray(lmap), (ids // 8) % L)
+            vals = jnp.take(table, idx_r, axis=0)                # [B, C]
+            return kf.at[p_r, l_r].add(w_r[:, None] * vals)
+
+        def slow_branch(table):
+            idx_k = jnp.concatenate(
+                [idx.reshape(N, L, 8)[:, l] for l in k_levels],
+                axis=1).reshape(-1)
+            w_k = jnp.concatenate(
+                [wa3[:, l] for l in k_levels], axis=1).reshape(-1)
+            vals = gather_rows(table, idx_k)
+            return (w_k[:, None] * vals).reshape(N, len(k_levels), 8, C).sum(2)
+
+        kf = jax.lax.cond(k_count <= B, fast_branch, slow_branch, table)
+        for i, l in enumerate(k_levels):
+            by_level[l] = kf[:, i]
+
+    feat = jnp.stack([by_level[l] for l in range(L)], axis=1)    # [N, L, C]
     feat = jnp.where(oob[:, None, None], 0.0, feat)
-    return feat.reshape(N, L * C), jax.lax.stop_gradient(resid_count)
+    return feat.reshape(N, L * C), jax.lax.stop_gradient(resid_counts)
+
+
+def splat_encode(table: jax.Array, x01: jax.Array, spec: HashGridSpec,
+                 resid_budget: int = 1 << 17, sort: bool = True,
+                 gather_levels: Tuple[int, ...] = (),
+                 interpret: bool = False):
+    """Drop-in exact replacement for hashgrid_encode on block512 specs.
+
+    Pads N to a TILE multiple and (by default) morton-sorts the points by
+    fine-block id so spatially-local points share window neighborhoods —
+    the unsort is a custom-vjp permutation (gather both directions).  Set
+    sort=False when the caller already feeds morton-ordered points.
+    Returns (feat [N, L*C], resid_counts [L]).
+    """
+    N0 = x01.shape[0]
+    pad = (-N0) % TILE
+    xp = jnp.pad(x01, ((0, pad), (0, 0)), constant_values=2.0)
+    if sort:
+        perm, inv = morton_perm(xp)
+        xp = permute(xp, perm, inv)
+    feat, cnt = splat_encode_raw(table, xp, spec, resid_budget,
+                                 gather_levels, interpret)
+    if sort:
+        feat = permute(feat, inv, perm)
+    return feat[:N0], cnt
+
+
+# ---------------------------------------------------------------------------
+# morton ordering + permutation with gather-only autodiff
+# ---------------------------------------------------------------------------
+
+def _spread3(v):
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def morton_perm(x01: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(perm, inv_perm) sorting points by fine-block (8^3-cell) morton id.
+
+    Out-of-[0,1] points sort to the end so they cluster into dead tiles
+    instead of widening live tiles' window neighborhoods.
+    """
+    b = jnp.clip((x01.astype(jnp.float32) * 256.0).astype(jnp.int32), 0, 255)
+    key = _spread3(b[:, 0]) | (_spread3(b[:, 1]) << 1) | (_spread3(b[:, 2]) << 2)
+    oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)
+    key = jnp.where(oob, jnp.int32(0x7FFFFFFF), key)
+    perm = jnp.argsort(key)
+    n = x01.shape[0]
+    inv = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return perm, inv
+
+
+@jax.custom_vjp
+def permute(x: jax.Array, perm: jax.Array, inv_perm: jax.Array) -> jax.Array:
+    """out[i] = x[perm[i]], with the BACKWARD also a gather (by inv_perm)
+    instead of XLA's scatter-add — scatters are ~8x slower than gathers at
+    row width >1 on this backend (PERF.md)."""
+    return jnp.take(x, perm, axis=0)
+
+
+def _permute_fwd(x, perm, inv_perm):
+    return jnp.take(x, perm, axis=0), (perm, inv_perm)
+
+
+def _permute_bwd(res, g):
+    perm, inv_perm = res
+    return jnp.take(g, inv_perm, axis=0), None, None
+
+
+permute.defvjp(_permute_fwd, _permute_bwd)
 

@@ -122,7 +122,7 @@ def test_splat_kernel_forward_exact():
     feat, cnt = se.splat_encode_raw(table, pts, spec,
                                     resid_budget=1 << 15, interpret=True)
     want = hashgrid_encode(table, pts, spec)
-    assert int(cnt) < (1 << 15)
+    assert int(cnt.sum()) < (1 << 15)
     np.testing.assert_allclose(np.asarray(feat), np.asarray(want),
                                atol=2e-6, rtol=1e-5)
 
@@ -161,6 +161,38 @@ def test_splat_kernel_table_grads():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_splat_public_sorted_padded():
+    """splat_encode: arbitrary N, internal morton sort + unsort, exact."""
+    spec = small_spec()
+    table = init_hashgrid(jax.random.PRNGKey(0), spec)
+    pts = jax.random.uniform(jax.random.PRNGKey(5), (777, 3))
+    feat, _ = se.splat_encode(table, pts, spec, resid_budget=1 << 15,
+                              interpret=True)
+    want = hashgrid_encode(table, pts, spec)
+    np.testing.assert_allclose(np.asarray(feat), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_splat_overflow_falls_back_exactly():
+    """Past-budget inputs take the full-gather branch — still exact."""
+    spec = small_spec()
+    table = init_hashgrid(jax.random.PRNGKey(0), spec)
+    pts = jax.random.uniform(jax.random.PRNGKey(6), (2 * se.TILE, 3))
+    feat, cnt = se.splat_encode(table, pts, spec, resid_budget=8,
+                                interpret=True)
+    assert int(cnt.sum()) > 8
+    want = hashgrid_encode(table, pts, spec)
+    np.testing.assert_allclose(np.asarray(feat), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
+
+    g = jax.random.normal(jax.random.PRNGKey(7), feat.shape)
+    d_s = jax.grad(lambda t: jnp.sum(se.splat_encode(
+        t, pts, spec, resid_budget=8, interpret=True)[0] * g))(table)
+    d_r = jax.grad(lambda t: jnp.sum(hashgrid_encode(t, pts, spec) * g))(table)
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_r),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_splat_budget_overflow_is_counted():
     spec = small_spec()
     table = init_hashgrid(jax.random.PRNGKey(0), spec)
@@ -168,4 +200,28 @@ def test_splat_budget_overflow_is_counted():
                                       (2 * se.TILE, 3)), 0, 1)
     _, cnt = se.splat_encode_raw(table, pts, spec, resid_budget=64,
                                  interpret=True)
-    assert int(cnt) > 64      # random points overflow a tiny budget, loudly
+    assert cnt.shape == (spec.num_levels,)
+    assert int(cnt.sum()) > 64  # random points overflow a tiny budget, loudly
+
+
+@pytest.mark.parametrize("gl", [(4, 5), tuple(range(6))])
+def test_splat_per_level_routing(gl):
+    """gather_levels routing stays exact (values and table grads)."""
+    spec = small_spec()
+    table = init_hashgrid(jax.random.PRNGKey(0), spec)
+    pts = _mixed_points(jax.random.PRNGKey(9), 4, se.TILE)
+    g = jax.random.normal(jax.random.PRNGKey(10),
+                          (pts.shape[0], spec.output_dim))
+
+    feat, cnt = se.splat_encode_raw(table, pts, spec, resid_budget=1 << 15,
+                                    gather_levels=gl, interpret=True)
+    want = hashgrid_encode(table, pts, spec)
+    np.testing.assert_allclose(np.asarray(feat), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
+
+    d_s = jax.grad(lambda t: jnp.sum(se.splat_encode_raw(
+        t, pts, spec, resid_budget=1 << 15, gather_levels=gl,
+        interpret=True)[0] * g))(table)
+    d_r = jax.grad(lambda t: jnp.sum(hashgrid_encode(t, pts, spec) * g))(table)
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_r),
+                               atol=1e-4, rtol=1e-4)

@@ -78,6 +78,9 @@ class Config:
     num_rays: int = 4096
     adaptive_num_rays: bool = False
     num_points: int = 2 ** 18
+    # compact valid samples into a fixed pool before the field evaluation
+    # (encoder+MLP cost O(num_points) instead of O(num_rays*samples_per_ray))
+    pool_points: bool = True
 
     # TPU-specific batch layout: field samples per ray (dense [N, K] layout).
     # The reference marches a variable number of points per ray (up to
@@ -150,6 +153,13 @@ class Config:
     # (see ops/pallas_encode.py; large tables use the XLA path).
     num_levels: int = 16
     log2_hashmap_size: int = 19
+    # hash-table indexing layout: "block512" hashes at 8^3-block granularity
+    # (enables the splat-contraction Pallas encoder at full table sizes,
+    # ops/splat_encode.py); "ref" matches the reference's per-entry hash
+    # (gridencoder.cu:50-63) exactly.  Same table size and collision count
+    # either way; collisions are spatially block-correlated under block512
+    # (quality A/B: workspace/ab/layout_ab.py).
+    grid_layout: str = "block512"
 
     # parallelism (TPU-native; no analog in the reference, which is single-GPU)
     mesh_shape: Tuple[int, ...] = (-1,)   # device mesh; -1 = all local devices

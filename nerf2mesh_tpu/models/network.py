@@ -49,6 +49,11 @@ class NetworkSpec:
     # (hash at block granularity) so the Pallas windowed encoder can serve
     # full-size tables; "ref" matches the reference entry-hash exactly.
     grid_layout: str = "ref"
+    # splat-encoder routing: levels evaluated by plain gather instead of the
+    # window kernel (fine levels without 128-point locality; the trainer
+    # probes per-level residual rates and rewires this between compiles).
+    encode_gather_levels: Tuple[int, ...] = ()
+    encode_resid_budget: int = 1 << 18
 
     @property
     def density_grid_spec(self) -> HashGridSpec:
@@ -110,40 +115,74 @@ def init_network(key: jax.Array, spec: NetworkSpec) -> Params:
     return params
 
 
-def _encode(table, x01, gspec, max_level):
-    """hashgrid encode, routed to the Pallas VMEM-sweep kernel on TPU when the
-    table is small enough (ops/pallas_encode.py); XLA gather path otherwise."""
+def _use_splat(gspec) -> bool:
     import os
-    from ..ops.pallas_encode import sweep_encode, sweep_supported
-    # ~36x faster forward than the XLA gather path for qualifying specs
-    # (log2_hashmap_size <= 14); the backward is still XLA scatters (PERF.md).
-    # NERF2MESH_SWEEP_ENCODER=0 forces the XLA path.
-    use_sweep = (os.environ.get("NERF2MESH_SWEEP_ENCODER", "1") != "0"
-                 and sweep_supported(gspec)
-                 and jax.default_backend() not in ("cpu",))
-    if use_sweep:
-        h = sweep_encode(table, x01, gspec)
-        if max_level is not None:
-            L, C = gspec.num_levels, gspec.level_dim
-            mask = (jnp.arange(L) < max_level)[None, :, None]
-            h = (h.reshape(-1, L, C) * mask).reshape(-1, L * C)
+    from ..ops.splat_encode import splat_supported
+    return (os.environ.get("NERF2MESH_SPLAT_ENCODER", "1") != "0"
+            and splat_supported(gspec)
+            and jax.default_backend() not in ("cpu",))
+
+
+def _use_sweep(gspec) -> bool:
+    import os
+    from ..ops.pallas_encode import sweep_supported
+    return (os.environ.get("NERF2MESH_SWEEP_ENCODER", "1") != "0"
+            and sweep_supported(gspec)
+            and jax.default_backend() not in ("cpu",))
+
+
+def _mask_levels(h, max_level, gspec):
+    if max_level is None:
         return h
-    return hashgrid_encode(table, x01, gspec, max_level)
+    L, C = gspec.num_levels, gspec.level_dim
+    mask = (jnp.arange(L) < max_level)[None, :, None]
+    return (h.reshape(-1, L, C) * mask).reshape(-1, L * C)
+
+
+def _encode(table, x01, gspec, max_level, spec: "NetworkSpec",
+            pre_sorted: bool = False):
+    """hashgrid encode, routed by table spec and backend:
+      * block512 layouts on TPU -> splat-contraction Pallas encoder with
+        per-level kernel/gather routing (ops/splat_encode.py);
+      * small tables on TPU -> VMEM-sweep kernel (ops/pallas_encode.py);
+      * otherwise the XLA gather path.
+    Returns (features, per-level residual counts | None)."""
+    if _use_splat(gspec):
+        from ..ops.splat_encode import splat_encode
+        h, cnt = splat_encode(
+            table, x01, gspec,
+            resid_budget=spec.encode_resid_budget,
+            sort=not pre_sorted,
+            gather_levels=spec.encode_gather_levels)
+        return _mask_levels(h, max_level, gspec), cnt
+    if _use_sweep(gspec):
+        from ..ops.pallas_encode import sweep_encode
+        # ~36x faster forward than the XLA gather path for qualifying specs
+        # (log2_hashmap_size <= 14); backward is XLA scatters (PERF.md).
+        return _mask_levels(sweep_encode(table, x01, gspec),
+                            max_level, gspec), None
+    return hashgrid_encode(table, x01, gspec, max_level), None
 
 
 def encode_fields(params: Params, x01: jax.Array, spec: NetworkSpec,
-                  max_level: Optional[jax.Array] = None):
+                  max_level: Optional[jax.Array] = None,
+                  pre_sorted: bool = False):
     """One pass over the hash table(s) -> (density feats [N,L], color feats
-    [N,2L]).  In merged mode both come from a single C=3 encode — the gather
-    traffic (the TPU bottleneck) is paid once for both fields."""
+    [N,2L], encode resid counts [L]|None).  In merged mode both come from a
+    single C=3 encode — the gather traffic (the TPU bottleneck) is paid once
+    for both fields."""
     L = spec.num_levels
     if spec.separate_tables:
-        hd = _encode(params["sigma_table"], x01, spec.density_grid_spec, max_level)
-        hc = _encode(params["color_table"], x01, spec.color_grid_spec, max_level)
-        return hd, hc
-    h = _encode(params["table"], x01, spec.density_grid_spec, max_level)
+        hd, c1 = _encode(params["sigma_table"], x01, spec.density_grid_spec,
+                         max_level, spec, pre_sorted)
+        hc, c2 = _encode(params["color_table"], x01, spec.color_grid_spec,
+                         max_level, spec, pre_sorted)
+        cnt = None if c1 is None else c1 + (0 if c2 is None else c2)
+        return hd, hc, cnt
+    h, cnt = _encode(params["table"], x01, spec.density_grid_spec, max_level,
+                     spec, pre_sorted)
     h = h.reshape(x01.shape[0], L, 3)
-    return h[:, :, 0], h[:, :, 1:].reshape(x01.shape[0], 2 * L)
+    return h[:, :, 0], h[:, :, 1:].reshape(x01.shape[0], 2 * L), cnt
 
 
 def _density_from_feat(params, x, hd, spec: NetworkSpec):
@@ -169,7 +208,18 @@ def density(params: Params, x: jax.Array, spec: NetworkSpec,
             max_level: Optional[jax.Array] = None) -> jax.Array:
     """sigma (after trunc_exp) or raw SDF value. x: [N, 3] in [-bound, bound]."""
     x01 = (x + spec.bound) / (2 * spec.bound)
-    hd, _ = encode_fields(params, x01, spec, max_level)
+    if _use_splat(spec.density_grid_spec):
+        # hoist the morton sort around the whole field: encode locality from
+        # sorted points, one narrow (W=1) unsort of sigma instead of a wide
+        # (W=L*C) unsort of features
+        from ..ops.splat_encode import morton_perm, permute
+        perm, inv = morton_perm(x01)
+        xs = permute(x, perm, inv)
+        hd, _, _ = encode_fields(params, (xs + spec.bound) / (2 * spec.bound),
+                                 spec, max_level, pre_sorted=True)
+        sig = _density_from_feat(params, xs, hd, spec)
+        return permute(sig, inv, perm)
+    hd, _, _ = encode_fields(params, x01, spec, max_level)
     return _density_from_feat(params, x, hd, spec)
 
 
@@ -179,7 +229,7 @@ def geo_feat(params: Params, x: jax.Array, spec: NetworkSpec,
              max_level: Optional[jax.Array] = None) -> jax.Array:
     """sigmoid(color_net(...)) = [diffuse3 | spec-feat] (network.py:159-168)."""
     x01 = (x + spec.bound) / (2 * spec.bound)
-    _, hc = encode_fields(params, x01, spec, max_level)
+    _, hc, _ = encode_fields(params, x01, spec, max_level)
     return _geo_feat_from_feat(params, x, hc, spec, c)
 
 
@@ -192,9 +242,24 @@ def field_forward(params: Params, x: jax.Array, d: jax.Array, spec: NetworkSpec,
     full_flag is the traced diffuse/full shading switch (see rgb_train).
     Equivalent to the reference's self(xyzs, dirs, ...) (network.py:81-89) but
     with the two encoder passes fused into one gather sweep.
+
+    Returns (sigma [N], color [N,3], specular [N,3], encode resid counts
+    [L]|None — the splat-encoder routing probe signal).
     """
+    splat = _use_splat(spec.density_grid_spec)
+    if splat:
+        # sort the whole field pipeline; unsort only the narrow outputs
+        from ..ops.splat_encode import morton_perm, permute
+        x01 = (x + spec.bound) / (2 * spec.bound)
+        perm, inv = morton_perm(x01)
+        x = permute(x, perm, inv)
+        d = permute(d, perm, inv)
+        if c is not None and c.shape[0] == x.shape[0]:
+            c = permute(c, perm, inv)
+
     x01 = (x + spec.bound) / (2 * spec.bound)
-    hd, hc = encode_fields(params, x01, spec, max_level)
+    hd, hc, cnt = encode_fields(params, x01, spec, max_level,
+                                pre_sorted=splat)
     sigma = _density_from_feat(params, x, hd, spec)
     gf = _geo_feat_from_feat(params, x, hc, spec, c)
     diffuse = gf[..., :3]
@@ -205,7 +270,13 @@ def field_forward(params: Params, x: jax.Array, d: jax.Array, spec: NetworkSpec,
     full = jnp.clip(diffuse + specular, 0.0, 1.0)
     color = jnp.where(full_flag, full, diffuse)
     specular = jnp.where(full_flag, specular, jnp.zeros_like(specular))
-    return sigma, color, specular
+
+    if splat:
+        packed = jnp.concatenate(
+            [sigma[:, None], color, specular], axis=-1)          # [N, 7]
+        packed = permute(packed, inv, perm)
+        sigma, color, specular = packed[:, 0], packed[:, 1:4], packed[:, 4:7]
+    return sigma, color, specular, cnt
 
 
 @partial(jax.jit, static_argnames=("spec", "shading"))

@@ -301,7 +301,7 @@ def render_eval_segment(
         ind_flat = ind_code
 
     full_flag = jnp.asarray(shading != "diffuse")
-    sigmas, rgbs, _ = field_forward(
+    sigmas, rgbs, _, _ = field_forward(
         params, pts, dirs_flat, net_spec, full_flag, ind_flat, None)
 
     if spec.sdf:
@@ -343,12 +343,23 @@ def render_train(
     cos_anneal_ratio: Optional[jax.Array] = None,
     normal_epsilon: float = 1e-4,
     aabb: Optional[jax.Array] = None,
+    pool_size: Optional[int] = None,
 ) -> Dict[str, jax.Array]:
     """One training-mode volumetric render (renderer.py:676-748).
 
     Pure function; caller jits (usually as part of the train step).
-    Returns image [N,3], depth [N], weights_sum [N], weights [P], xyzs [P,3],
-    valid [P], speculars [P,3] (zeros when diffuse), num_points [].
+
+    pool_size: when set, VALID samples are compacted into a fixed pool of
+    that size before the field evaluation — the field (encoder + MLPs) then
+    costs O(pool) instead of O(rays * samples), mirroring the reference's
+    counted point buffer (raymarching.py:184-245) with static shapes.  On
+    pool overflow, whole rays are dropped from the loss via `ray_kept` and
+    `pool_overflow` reports the clipped sample count (loud, never silent).
+
+    Returns image [N,3], depth [N], weights_sum [N], weights [N*K] (dense),
+    valid [N*K] (dense), xyzs [P,3] + pp_valid [P] + speculars [P,3]
+    (per-evaluated-point, pooled when pool_size is set), ray_kept [N],
+    pool_overflow [], num_points [].
     """
     N = rays_o.shape[0]
     if aabb is None:
@@ -374,32 +385,91 @@ def render_train(
     pts = jax.lax.stop_gradient(m.xyzs.reshape(N * K, 3))
 
     dirs = safe_normalize(rays_d)                            # [N, 3]
-    dirs_flat = jnp.broadcast_to(dirs[:, None, :], (N, K, 3)).reshape(N * K, 3)
-    if ind_code is not None and ind_code.shape[0] == N:
-        ind_flat = jnp.broadcast_to(
-            ind_code[:, None, :], (N, K, ind_code.shape[-1])
-        ).reshape(N * K, -1)
-    else:
-        ind_flat = ind_code
-
     if full_flag is None:
         full_flag = jnp.asarray(shading != "diffuse")
-    sigmas, rgbs, speculars = field_forward(
-        params, pts, dirs_flat, net_spec, full_flag, ind_flat, max_level)
 
     results: Dict[str, jax.Array] = {}
-    if spec.sdf:
-        inv_s = jnp.clip(jnp.exp(params["variance"] * 10.0), 1e-6, 1e6)
-        raw_normal = finite_diff_normal(params, pts, net_spec, normal_epsilon,
-                                        max_level)
-        results["normal"] = raw_normal
-        normal = safe_normalize(raw_normal)
-        car = cos_anneal_ratio if cos_anneal_ratio is not None else jnp.asarray(1.0)
-        sigmas = neus_alpha_from_sdf(sigmas, normal, dirs_flat,
-                                     m.dts.reshape(-1), inv_s, car)
+    car = cos_anneal_ratio if cos_anneal_ratio is not None else jnp.asarray(1.0)
+
+    if pool_size is None:
+        dirs_flat = jnp.broadcast_to(dirs[:, None, :], (N, K, 3)).reshape(N * K, 3)
+        if ind_code is not None and ind_code.shape[0] == N:
+            ind_flat = jnp.broadcast_to(
+                ind_code[:, None, :], (N, K, ind_code.shape[-1])
+            ).reshape(N * K, -1)
+        else:
+            ind_flat = ind_code
+
+        sigmas, rgbs, speculars, enc_cnt = field_forward(
+            params, pts, dirs_flat, net_spec, full_flag, ind_flat, max_level)
+
+        if spec.sdf:
+            inv_s = jnp.clip(jnp.exp(params["variance"] * 10.0), 1e-6, 1e6)
+            raw_normal = finite_diff_normal(params, pts, net_spec,
+                                            normal_epsilon, max_level)
+            results["normal"] = raw_normal
+            normal = safe_normalize(raw_normal)
+            sigmas = neus_alpha_from_sdf(sigmas, normal, dirs_flat,
+                                         m.dts.reshape(-1), inv_s, car)
+
+        sig_nk = sigmas.reshape(N, K)
+        rgb_nk = rgbs.reshape(N, K, 3)
+        pp_xyz, pp_valid = pts, m.valid.reshape(-1)
+        pp_spec = (speculars if speculars is not None
+                   else jnp.zeros_like(rgbs)).reshape(N * K, 3)
+        ray_kept = jnp.ones((N,), bool)
+        pool_overflow = jnp.zeros((), jnp.int32)
+    else:
+        # ---- valid-sample pool compaction (reference raymarching.py:184-245)
+        P = int(pool_size)
+        flat_valid = m.valid.reshape(-1)                     # [N*K]
+        total = m.total
+        (ids,) = jnp.nonzero(flat_valid, size=P, fill_value=N * K)
+        in_pool = jnp.arange(P) < total
+        ids_c = jnp.minimum(ids, N * K - 1)
+
+        sentinel = 3.0 * spec.bound                          # x01 -> 2.0 (oob)
+        x_pool = jnp.take(pts, ids_c, axis=0)
+        x_pool = jnp.where(in_pool[:, None], x_pool, sentinel)
+        ray_ids = ids_c // K
+        d_pool = jnp.take(dirs, ray_ids, axis=0)
+        if ind_code is not None and ind_code.shape[0] == N:
+            ind_pool = jnp.take(ind_code, ray_ids, axis=0)
+        else:
+            ind_pool = ind_code
+
+        sigmas_p, rgbs_p, spec_p, enc_cnt = field_forward(
+            params, x_pool, d_pool, net_spec, full_flag, ind_pool, max_level)
+
+        if spec.sdf:
+            inv_s = jnp.clip(jnp.exp(params["variance"] * 10.0), 1e-6, 1e6)
+            raw_normal = finite_diff_normal(params, x_pool, net_spec,
+                                            normal_epsilon, max_level)
+            results["normal"] = raw_normal
+            normal = safe_normalize(raw_normal)
+            dt_pool = jnp.take(m.dts.reshape(-1), ids_c)
+            sigmas_p = neus_alpha_from_sdf(sigmas_p, normal, d_pool,
+                                           dt_pool, inv_s, car)
+
+        sigmas_p = jnp.where(in_pool, sigmas_p, 0.0)
+        rgbs_p = jnp.where(in_pool[:, None], rgbs_p, 0.0)
+        sig_nk = jnp.zeros((N * K,)).at[ids].set(
+            sigmas_p, mode="drop").reshape(N, K)
+        rgb_nk = jnp.zeros((N * K, 3)).at[ids].set(
+            rgbs_p, mode="drop").reshape(N, K, 3)
+
+        # rays with valid samples that did NOT fit the pool leave the loss
+        kept_slot = jnp.zeros((N * K,)).at[ids].set(1.0, mode="drop")
+        dropped = flat_valid & (kept_slot == 0.0)
+        ray_kept = ~jnp.any(dropped.reshape(N, K), axis=1)
+        pool_overflow = jnp.maximum(total - P, 0)
+
+        pp_xyz, pp_valid = x_pool, in_pool
+        pp_spec = (spec_p if spec_p is not None
+                   else jnp.zeros_like(rgbs_p))
 
     out = composite_rays(
-        sigmas.reshape(N, K), rgbs.reshape(N, K, 3), m.ts, m.dts, m.valid,
+        sig_nk, rgb_nk, m.ts, m.dts, m.valid,
         T_thresh=spec.T_thresh, alpha_mode=spec.sdf,
     )
 
@@ -409,10 +479,14 @@ def render_train(
         depth=out["depth"],
         weights_sum=out["weights_sum"],
         weights=out["weights"].reshape(-1),
-        xyzs=pts,
+        xyzs=pp_xyz,
         valid=m.valid.reshape(-1),
+        pp_valid=pp_valid,
         num_points=m.total,
-        speculars=(speculars if speculars is not None
-                   else jnp.zeros_like(rgbs)).reshape(N * K, 3),
+        ray_kept=ray_kept,
+        pool_overflow=pool_overflow,
+        speculars=pp_spec,
+        encode_resid=(enc_cnt if enc_cnt is not None
+                      else jnp.zeros((net_spec.num_levels,), jnp.int32)),
     )
     return results

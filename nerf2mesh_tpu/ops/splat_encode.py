@@ -507,12 +507,10 @@ def splat_encode_raw(table: jax.Array, x01: jax.Array, spec: HashGridSpec,
     w = jnp.where(oob[:, None], 0.0, w)
     w_all = jnp.where(oob[:, None], 0.0, w_all)
     w3 = w.reshape(N, L, 8)
+    # out-of-window corner counts for ALL levels (gather-routed included) —
+    # the trainer's routing probe needs the hypothetical kernel residual
     resid_counts = jnp.sum(w3 != 0.0, axis=(0, 2), dtype=jnp.int32)  # [L]
-    # gather-routed levels: report total touched corners (their full cost)
     wa3 = w_all.reshape(N, L, 8)
-    full_counts = jnp.sum(wa3 != 0.0, axis=(0, 2), dtype=jnp.int32)
-    lvl_gather = jnp.asarray([l in gather_levels for l in range(L)])
-    resid_counts = jnp.where(lvl_gather, full_counts, resid_counts)
 
     by_level = {}
 

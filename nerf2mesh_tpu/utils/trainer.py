@@ -15,6 +15,7 @@ TPU-native design points:
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import pickle
@@ -111,6 +112,7 @@ class Trainer:
             ind_num=cfg.ind_num, fp16=cfg.fp16,
             num_levels=cfg.num_levels,
             log2_hashmap_size=cfg.log2_hashmap_size,
+            grid_layout=cfg.grid_layout,
         )
         self.render_spec = RenderSpec(
             bound=cfg.bound, contract=cfg.contract, grid_size=cfg.grid_size,
@@ -135,6 +137,20 @@ class Trainer:
             key=key,
         )
         self.num_rays = cfg.num_rays
+        # splat-encoder per-level routing: start fine levels (no early-training
+        # window locality, see PERF.md) on the gather path; the residual-rate
+        # probe moves levels back to the kernel as occupancy converges
+        gspec = self.net_spec.density_grid_spec
+        default_gather = tuple(
+            l for l in range(gspec.num_levels)
+            if gspec.resolutions[l] > 128)
+        self.net_spec = dataclasses.replace(
+            self.net_spec, encode_gather_levels=default_gather)
+        # valid-sample pool: field evaluation costs O(pool) not O(rays*K)
+        # (render_train pool_size; ~1.25x the adaptive point target, rounded
+        # to tiles; None disables pooling)
+        self.pool_size = (int(-(-int(cfg.num_points * 1.25) // 128) * 128)
+                          if cfg.pool_points else None)
         self.metrics: List[Meter] = [PSNRMeter()]
         self._step_cache: Dict[int, Any] = {}
         self._aabb = np.array([-cfg.bound] * 3 + [cfg.bound] * 3, np.float32)
@@ -266,6 +282,7 @@ class Trainer:
             cos_anneal_ratio=dyn.cos_anneal_ratio,
             normal_epsilon=dyn.normal_epsilon,
             aabb=jnp.asarray(self._aabb),
+            pool_size=self.pool_size,
         )
 
         from .losses import CRITERIA
@@ -284,7 +301,10 @@ class Trainer:
             dmask = (gt_depth > 0).astype(jnp.float32) * gt_depth_w
             loss_per_ray = loss_per_ray + lam * dmask * (
                 (out["depth"] - gt_depth) ** 2)
-        loss = jnp.mean(loss_per_ray)
+        # rays whose samples overflowed the point pool carry no loss this
+        # step (rare; adaptive rays self-corrects, pool_overflow is logged)
+        kept = out["ray_kept"].astype(jnp.float32)
+        loss = jnp.sum(loss_per_ray * kept) / jnp.maximum(jnp.sum(kept), 1)
 
         if cfg.lambda_entropy > 0:
             w = jnp.clip(out["weights"], 1e-5, 1 - 1e-5)
@@ -300,14 +320,14 @@ class Trainer:
 
         if cfg.lambda_specular > 0:
             spec_l = jnp.sum(out["speculars"] ** 2, axis=-1)
-            spec_l = jnp.where(out["valid"], spec_l, 0.0)
-            n_valid = jnp.maximum(jnp.sum(out["valid"]), 1)
+            spec_l = jnp.where(out["pp_valid"], spec_l, 0.0)
+            n_valid = jnp.maximum(jnp.sum(out["pp_valid"]), 1)
             loss = loss + cfg.lambda_specular * jnp.sum(spec_l) / n_valid
 
         if cfg.sdf and cfg.lambda_eikonal > 0:
             nrm = jnp.linalg.norm(out["normal"], axis=-1)
-            eik = jnp.where(out["valid"], (nrm - 1.0) ** 2, 0.0)
-            n_valid = jnp.maximum(jnp.sum(out["valid"]), 1)
+            eik = jnp.where(out["pp_valid"], (nrm - 1.0) ** 2, 0.0)
+            n_valid = jnp.maximum(jnp.sum(out["pp_valid"]), 1)
             loss = loss + cfg.lambda_eikonal * jnp.sum(eik) / n_valid
 
         if cfg.lambda_tv > 0:
@@ -318,7 +338,7 @@ class Trainer:
             xyz_tv = out["xyzs"][:n_tv]
             x01 = (xyz_tv + nspec.bound) / (2 * nspec.bound)
             inner = jnp.max(jnp.abs(xyz_tv), axis=-1) <= 1.0
-            pw = jnp.where(out["valid"][:n_tv],
+            pw = jnp.where(out["pp_valid"][:n_tv],
                            jnp.where(inner, 1.0, 10.0), 0.0)
             table = params["sigma_table"] if nspec.separate_tables else params["table"]
             tv = hashgrid_tv_loss(table, x01, nspec.density_grid_spec, pw)
@@ -329,6 +349,8 @@ class Trainer:
             "psnr": -10.0 * jnp.log10(
                 jnp.maximum(jnp.mean((pred_rgb - gt_rgb) ** 2), 1e-12)),
             "num_points": out["num_points"],
+            "pool_overflow": out["pool_overflow"],
+            "encode_resid": out["encode_resid"],
         }
         return loss, metrics
 
@@ -361,6 +383,10 @@ class Trainer:
                         "loss": loss,
                         "psnr": jax.lax.pmean(metrics["psnr"], "data"),
                         "num_points": jax.lax.psum(metrics["num_points"], "data"),
+                        "pool_overflow": jax.lax.psum(
+                            metrics["pool_overflow"], "data"),
+                        "encode_resid": jax.lax.psum(
+                            metrics["encode_resid"], "data"),
                     }
                     return loss, metrics
 
@@ -409,9 +435,10 @@ class Trainer:
         return jax.jit(step_fn, donate_argnums=(0,))
 
     def step_fn_for(self, num_rays: int):
-        if num_rays not in self._step_cache:
-            self._step_cache[num_rays] = self._build_step(num_rays)
-        return self._step_cache[num_rays]
+        key = (num_rays, self.net_spec.encode_gather_levels)
+        if key not in self._step_cache:
+            self._step_cache[key] = self._build_step(num_rays)
+        return self._step_cache[key]
 
     # -------------------------------------------------------------- train loop
     def mark_untrained(self, dataset: Dataset):
@@ -440,6 +467,30 @@ class Trainer:
                 lambda_density=self.cfg.lambda_density,
                 grid_lr=self.cfg.lr)
         self.state = self.state._replace(render=render)
+
+    def _update_encode_routing(self, metrics) -> None:
+        """Residual-rate probe: per level, route to the window kernel when
+        out-of-window corners are rare, to the gather path when common.
+        Hysteresis (0.15 / 0.35) avoids recompile flapping; each routing
+        change costs one step recompile."""
+        cnt = metrics.get("encode_resid")
+        npts = int(metrics.get("num_points", 0))
+        if cnt is None or npts <= 0:
+            return
+        rates = np.asarray(cnt, np.float64) / (8.0 * npts)
+        cur = set(self.net_spec.encode_gather_levels)
+        new = set(cur)
+        for l, r in enumerate(rates):
+            if l in cur and r < 0.15:
+                new.discard(l)
+            elif l not in cur and r > 0.35:
+                new.add(l)
+        if new != cur:
+            self.net_spec = dataclasses.replace(
+                self.net_spec, encode_gather_levels=tuple(sorted(new)))
+            self.log(f"[INFO] encode routing -> gather levels "
+                     f"{sorted(new)} (resid rates "
+                     f"{[round(float(r), 2) for r in rates]})")
 
     def _bucket(self, n: int, lo: int = 1024, hi: int = 16384) -> int:
         # cap so rays * samples_per_ray stays within ~2x the point budget —
@@ -526,11 +577,12 @@ class Trainer:
             self.state, last = fn(self.state, images, poses, intrinsics,
                                   cam_near_far, self.dynamics(step),
                                   depth_data)
-            if (cfg.adaptive_num_rays
-                    and (step + 1) % cfg.update_extra_interval == 0):
-                npts = int(last["num_points"])
-                if npts > 0:
-                    self.num_rays = int(round(cfg.num_points / npts * nr))
+            if (step + 1) % cfg.update_extra_interval == 0:
+                if cfg.adaptive_num_rays:
+                    npts = int(last["num_points"])
+                    if npts > 0:
+                        self.num_rays = int(round(cfg.num_points / npts * nr))
+                self._update_encode_routing(last)
         return last
 
     def train(self, dataset: Dataset, valid_dataset: Optional[Dataset] = None,
@@ -574,13 +626,16 @@ class Trainer:
                 self.log("[INFO] wrote profiler trace")
                 self._prof_stop_at = None
 
-            if cfg.adaptive_num_rays and (step + 1) % cfg.update_extra_interval == 0:
-                npts = int(last_metrics["num_points"])
-                if npts > 0:
-                    self.num_rays = int(round(cfg.num_points / npts * nr))
+            if (step + 1) % cfg.update_extra_interval == 0:
+                if cfg.adaptive_num_rays:
+                    npts = int(last_metrics["num_points"])
+                    if npts > 0:
+                        self.num_rays = int(round(cfg.num_points / npts * nr))
+                self._update_encode_routing(last_metrics)
 
             if (step + 1) % max(1, steps // 10) == 0 or step == steps - 1:
-                m = {k: float(v) for k, v in last_metrics.items()}
+                m = {k: float(v) for k, v in last_metrics.items()
+                     if np.ndim(v) == 0}
                 self.log(
                     f"[step {step+1}/{steps}] loss={m['loss']:.6f} "
                     f"psnr={m['psnr']:.2f} points={int(m['num_points'])} "

@@ -40,8 +40,8 @@ def test_diffuse_full_switch():
     params = init_network(jax.random.PRNGKey(0), spec)
     x = jax.random.uniform(jax.random.PRNGKey(1), (8, 3), minval=-1, maxval=1)
     d = jnp.tile(jnp.asarray([[0.0, 0, 1]]), (8, 1))
-    _, c_diff, s_diff = field_forward(params, x, d, spec, jnp.asarray(False))
-    _, c_full, s_full = field_forward(params, x, d, spec, jnp.asarray(True))
+    _, c_diff, s_diff, _ = field_forward(params, x, d, spec, jnp.asarray(False))
+    _, c_full, s_full, _ = field_forward(params, x, d, spec, jnp.asarray(True))
     assert np.allclose(np.asarray(s_diff), 0)             # no specular in warmup
     assert np.any(np.asarray(s_full) != 0)
     # full = clamp(diffuse + specular)

@@ -11,6 +11,7 @@ spec = HashGridSpec(num_levels=16, level_dim=3, log2_hashmap_size=19,
 table = init_hashgrid(jax.random.PRNGKey(0), spec)
 N = 2 ** 18
 mode = sys.argv[1] if len(sys.argv) > 1 else "sorted"
+GL = tuple(int(v) for v in sys.argv[2].split(",")) if len(sys.argv) > 2 else ()
 
 key = jax.random.PRNGKey(1)
 if mode == "clustered":
@@ -42,10 +43,10 @@ def morton_sort(x):
 xs = jax.jit(morton_sort)(x)
 
 B = 1 << 18
-fn = jax.jit(lambda t, p: se.splat_encode_raw(t, p, spec, resid_budget=B))
+fn = jax.jit(lambda t, p: se.splat_encode_raw(t, p, spec, resid_budget=B, gather_levels=GL))
 t0 = time.perf_counter()
 feat, cnt = fn(table, xs)
-cntf = int(cnt); _ = float(feat[0, 0])
+cntf = int(cnt.sum()); _ = float(feat[0, 0]); print("per-level resid:", [int(v) for v in cnt], flush=True)
 print(f"compile+run: {time.perf_counter()-t0:.1f}s  resid={cntf} "
       f"({cntf/(N*16*8)*100:.2f}% of corners, budget {B})", flush=True)
 
@@ -60,8 +61,8 @@ K = 4
 @jax.jit
 def fwd_loop(salt, t, p):
     def body(i, acc):
-        f, c = se.splat_encode_raw(t, p + salt * 1e-9, spec, resid_budget=B)
-        return acc + f[0, 0] + c.astype(jnp.float32)
+        f, c = se.splat_encode_raw(t, p + salt * 1e-9, spec, resid_budget=B, gather_levels=GL)
+        return acc + f[0, 0] + c.sum().astype(jnp.float32)
     return jax.lax.fori_loop(0, K, body, salt)
 
 float(fwd_loop(jnp.float32(3), table, xs))
@@ -74,8 +75,8 @@ print(f"splat fwd: {dt*1e3:.1f} ms / {N} pts (XLA path: 947 ms)", flush=True)
 def both_loop(salt, t, p):
     def body(i, acc):
         def loss(tt):
-            f, c = se.splat_encode_raw(tt, p + salt * 1e-9, spec, resid_budget=B)
-            return jnp.sum(f[:, :4]) , c
+            f, c = se.splat_encode_raw(tt, p + salt * 1e-9, spec, resid_budget=B, gather_levels=GL)
+            return jnp.sum(f * (1.0 + p[:, :1] * 0)) * 1e-3, c
         (l, c), g = jax.value_and_grad(loss, has_aux=True)(t)
         return acc + l + g[::65537, 0].sum()
     return jax.lax.fori_loop(0, K, body, salt)

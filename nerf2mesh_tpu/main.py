@@ -68,6 +68,16 @@ def main(argv=None):
     train_ds = load_dataset(cfg, split=cfg.train_split)
     valid_ds = load_dataset(cfg, split="val")
 
+    if cfg.vis_pose:
+        # headless analog of the reference's interactive visualize_poses
+        # (provider.py:244): dump frusta + bound box (+ sparse points) to
+        # workspace/poses.ply (+ poses.png)
+        from .utils.vis_pose import write_pose_vis
+        path = write_pose_vis(
+            trainer.workspace, train_ds.poses, cfg.bound,
+            points=getattr(train_ds, "pts3d", None))
+        print(f"[INFO] --vis_pose wrote {path}")
+
     if cfg.data_format == "colmap" and hasattr(train_ds, "pts_aabb"):
         trainer.update_aabb(train_ds.pts_aabb)
 

@@ -70,8 +70,17 @@ def occupancy_lookup(occ_grid, xyzs, dts, bound: float, contracted: bool,
     n = jnp.clip((0.5 * (cxyz / mip_bound[..., None] + 1.0) * H).astype(jnp.int32),
                  0, H - 1)
     flat = ((level * H + n[..., 0]) * H + n[..., 1]) * H + n[..., 2]
-    occ = jnp.take(occ_grid.reshape(-1), flat.reshape(-1),
-                   axis=0).reshape(flat.shape) > 0
+    import os
+    from .occ_sweep import occ_lookup_sweep, pack_bits, sweep_supported
+    if (os.environ.get("NERF2MESH_OCC_SWEEP", "1") != "0"
+            and sweep_supported(cascades, H)
+            and jax.default_backend() not in ("cpu",)):
+        # bit-packed VMEM sweep: ~2 vector ops/sample instead of a serial
+        # HBM gather (the cost that scales with rays * coarse candidates)
+        occ = occ_lookup_sweep(pack_bits(occ_grid), flat) > 0
+    else:
+        occ = jnp.take(occ_grid.reshape(-1), flat.reshape(-1),
+                       axis=0).reshape(flat.shape) > 0
     if contracted:
         occ = occ | (mag > 1.0)   # contracted outer region always marched
     return occ, cxyz

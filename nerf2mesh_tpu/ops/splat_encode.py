@@ -413,6 +413,26 @@ gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 # public op
 # ---------------------------------------------------------------------------
 
+def _corner_indices_level(cg, spec: HashGridSpec, l: int):
+    """Canonical block512 table index for ONE level; cg [N, 8, 3] uint32.
+    Same math as hashgrid._corner_indices_block restricted to level l."""
+    n_win, woff_entries, nb, use_hash, _ = _level_consts(spec, l)
+    b = cg >> jnp.uint32(3)
+    loc = cg & jnp.uint32(7)
+    local_off = loc[..., 0] + loc[..., 1] * jnp.uint32(8) \
+        + loc[..., 2] * jnp.uint32(64)
+    if use_hash:
+        win = (b[..., 0] * jnp.uint32(_PRIMES[0])
+               ^ b[..., 1] * jnp.uint32(_PRIMES[1])
+               ^ b[..., 2] * jnp.uint32(_PRIMES[2]))
+    else:
+        win = b[..., 0] + b[..., 1] * jnp.uint32(nb) \
+            + b[..., 2] * jnp.uint32(nb * nb)
+    win = win % jnp.uint32(n_win)
+    off = jnp.uint32(spec.offsets[l])
+    return (win * jnp.uint32(512) + local_off + off).astype(jnp.int32)
+
+
 def _corner_geometry(xc, spec, bases):
     """Canonical corner indices + weights + residual mask for clipped pts.
 
@@ -422,31 +442,35 @@ def _corner_geometry(xc, spec, bases):
     """
     N = xc.shape[0]
     L = spec.num_levels
-    scales = jnp.asarray([spec.level_scale(l) for l in range(L)], jnp.float32)
     shift = 0.0 if spec.align_corners else 0.5
-    pos = xc[:, None, :] * scales[None, :, None] + shift
-    pg = jnp.floor(pos)
-    frac = pos - pg
     corners = _corner_offsets(3)
-    cgrid = pg.astype(jnp.uint32)[:, :, None, :] \
-        + jnp.asarray(corners)[None, None]
-    idx = _corner_indices(cgrid, spec).reshape(N, L * 8)
     cm = jnp.asarray(corners.astype(np.float32))
-    w = jnp.prod(cm[None, None] * frac[:, :, None, :]
-                 + (1 - cm[None, None]) * (1 - frac[:, :, None, :]),
-                 -1).reshape(N, L * 8)
 
-    # in-window test against the per-tile base blocks
-    masks = []
+    # per-level loop: the all-level [N, L, 8, 3] corner grid is ~640 MB at
+    # pool scale and HBM-OOMs the step; per-level intermediates are [N,8,3]
+    # with short liveness
+    idx_l, w_l, wr_l = [], [], []
     for l in range(L):
-        base = bases[l]
-        basef = 8.0 * base.astype(jnp.float32)                   # [T,3]
-        basef = jnp.repeat(basef, TILE, axis=0)                  # [N,3]
-        local = (pg[:, l, None, :] + jnp.asarray(corners, jnp.float32)[None]
+        pos = xc * jnp.float32(spec.level_scale(l)) + shift      # [N,3]
+        pg = jnp.floor(pos)
+        frac = pos - pg
+        cgrid = pg.astype(jnp.uint32)[:, None, :] \
+            + jnp.asarray(corners)[None]                         # [N,8,3]
+        idx_l.append(_corner_indices_level(cgrid, spec, l))
+        w = jnp.prod(cm[None] * frac[:, None, :]
+                     + (1 - cm[None]) * (1 - frac[:, None, :]), -1)  # [N,8]
+        w_l.append(w)
+        basef = 8.0 * jnp.repeat(bases[l].astype(jnp.float32),
+                                 TILE, axis=0)                   # [N,3]
+        local = (pg[:, None, :] + jnp.asarray(corners, jnp.float32)[None]
                  - basef[:, None, :])                            # [N,8,3]
-        masks.append(jnp.all((local >= 0) & (local < 16), axis=-1))
-    inw = jnp.stack(masks, axis=1).reshape(N, L * 8)
-    return idx, w, jnp.where(inw, 0.0, w)
+        inw = jnp.all((local >= 0) & (local < 16), axis=-1)      # [N,8]
+        wr_l.append(jnp.where(inw, 0.0, w))
+
+    idx = jnp.stack(idx_l, axis=1).reshape(N, L * 8)
+    w = jnp.stack(w_l, axis=1).reshape(N, L * 8)
+    wr = jnp.stack(wr_l, axis=1).reshape(N, L * 8)
+    return idx, w, wr
 
 
 def _fallback_feat(table, idx, w_all, oob, spec):

@@ -149,7 +149,7 @@ class Trainer:
         # valid-sample pool: field evaluation costs O(pool) not O(rays*K)
         # (render_train pool_size; ~1.25x the adaptive point target, rounded
         # to tiles; None disables pooling)
-        self.pool_size = (int(-(-int(cfg.num_points * 1.25) // 128) * 128)
+        self.pool_size = (int(-(-cfg.num_points // 128) * 128)
                           if cfg.pool_points else None)
         self.metrics: List[Meter] = [PSNRMeter()]
         self._step_cache: Dict[int, Any] = {}
@@ -687,7 +687,8 @@ class Trainer:
             num_coarse=rspec.num_coarse, num_fine=seg_samples,
             dt_gamma=rspec.dt_gamma, sdf=rspec.sdf)
 
-        cache_key = (chunk, shading, seg_samples)
+        # rspec in the key: the viewer mutates render options live
+        cache_key = (chunk, shading, seg_samples, rspec)
         if getattr(self, "_eval_key", None) != cache_key:
             from ..models.renderer import render_eval_segment
             from ..ops.sampling import near_far_from_aabb, occupied_length

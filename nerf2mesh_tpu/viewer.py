@@ -29,9 +29,23 @@ _PAGE = """<!DOCTYPE html>
 <style>body{margin:0;background:#111;color:#ccc;font-family:monospace}
 #img{width:100vw;height:100vh;object-fit:contain;image-rendering:pixelated}
 #hud{position:fixed;top:8px;left:8px}</style></head>
-<body><div id="hud">drag orbit / wheel zoom<br/><span id="train"></span></div>
+<body><div id="hud">drag orbit / wheel zoom<br/><span id="train"></span><br/>
+dt_gamma <input id="dtg" type="range" min="0" max="0.1" step="0.005" value="0" style="width:90px"/>
+<span id="dtgv">0</span><br/>
+max_steps <input id="mst" type="range" min="4" max="10" step="1" value="10" style="width:90px"/>
+<span id="mstv">1024</span><br/>
+bound <input id="bnd" type="range" min="0.1" max="1" step="0.05" value="1" style="width:90px"/>
+<span id="bndv">1.0</span></div>
 <img id="img"/>
 <script>
+for(const [id, vid, f] of [["dtg","dtgv",v=>v],["mst","mstv",v=>1<<v],["bnd","bndv",v=>v]]){
+  const el=document.getElementById(id);
+  el.addEventListener('change',async()=>{
+    const v=f(parseFloat(el.value));
+    document.getElementById(vid).textContent=v;
+    await fetch(`/option?${id}=${v}`); refresh();
+  });
+}
 let theta=1.2, phi=0.5, radius=2.5, busy=false, pending=false;
 const img=document.getElementById('img'), hud=document.getElementById('hud');
 async function refresh(){
@@ -101,6 +115,20 @@ class ViewerServer:
             t.save_checkpoint()
         self.train_status = dict(self.train_status, done=True)
 
+    def set_option(self, q):
+        import dataclasses
+        t = self.trainer
+        with self.lock:
+            if "dtg" in q:
+                t.render_spec = dataclasses.replace(
+                    t.render_spec, dt_gamma=float(q["dtg"][0]))
+            if "mst" in q:
+                t.render_spec = dataclasses.replace(
+                    t.render_spec, max_steps=int(float(q["mst"][0])))
+            if "bnd" in q:
+                b = t.cfg.bound * float(q["bnd"][0])
+                t._aabb = np.array([-b] * 3 + [b] * 3, np.float32)
+
     def render_frame(self, theta: float, phi: float, radius: float) -> bytes:
         from PIL import Image
 
@@ -152,6 +180,14 @@ class ViewerServer:
                         float(q.get("radius", [2.5])[0]))
                     self.send_response(200)
                     self.send_header("Content-Type", "image/png")
+                elif u.path == "/option":
+                    # live render-option mutation (reference gui.py:329-366
+                    # sliders: dt_gamma, max_steps, aabb/bound scale)
+                    q = parse_qs(u.query)
+                    viewer.set_option(q)
+                    body = b"{}"
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
                 elif u.path == "/status":
                     body = json.dumps(viewer.train_status).encode()
                     self.send_response(200)

@@ -199,3 +199,76 @@ def test_occupied_length_matches_sampler():
                           fars, num_coarse=128, grid_size=H, cascades=1,
                           bound=1.0)
     assert float(ol0[0]) == 0.0
+
+
+def test_pooled_render_matches_dense():
+    """render_train(pool_size=P) == render_train(pool_size=None) exactly
+    when the pool fits all valid samples."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from nerf2mesh_tpu.models.network import NetworkSpec, init_network
+    from nerf2mesh_tpu.models.renderer import RenderSpec, render_train
+
+    net_spec = NetworkSpec(bound=1.0)
+    rspec = RenderSpec(bound=1.0, grid_size=32, max_steps=64,
+                       num_coarse=32, num_fine=8, dt_gamma=0.0)
+    params = init_network(jax.random.PRNGKey(0), net_spec)
+    N = 64
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    rays_o = jnp.asarray([0.0, 0.0, 2.0]) + 0.1 * jax.random.normal(k1, (N, 3))
+    rays_d = jax.random.normal(k2, (N, 3))
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    # point most rays at the scene
+    rays_d = rays_d.at[:, 2].set(-jnp.abs(rays_d[:, 2]) - 0.5)
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    occ = jnp.ones((1, 32, 32, 32), jnp.uint8)
+    bg = jnp.ones((N, 3))
+
+    kwargs = dict(shading="full", perturb=False)
+    dense = render_train(params, occ, rays_o, rays_d, bg, k3, rspec,
+                         net_spec, **kwargs)
+    pooled = render_train(params, occ, rays_o, rays_d, bg, k3, rspec,
+                          net_spec, pool_size=N * 8, **kwargs)
+    assert int(pooled["pool_overflow"]) == 0
+    assert bool(jnp.all(pooled["ray_kept"]))
+    for k in ("image", "depth", "weights_sum"):
+        np.testing.assert_allclose(np.asarray(pooled[k]),
+                                   np.asarray(dense[k]), atol=1e-5,
+                                   err_msg=k)
+
+    # gradients agree too (table + mlps)
+    def loss(p, pool):
+        out = render_train(p, occ, rays_o, rays_d, bg, k3, rspec, net_spec,
+                           pool_size=pool, **kwargs)
+        return jnp.sum(out["image"] ** 2)
+
+    gd = jax.grad(loss)(params, None)
+    gp = jax.grad(loss)(params, N * 8)
+    for k in gd:
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(gp[k])[0]),
+            np.asarray(jax.tree_util.tree_leaves(gd[k])[0]),
+            atol=2e-4, err_msg=k)
+
+
+def test_pool_overflow_is_loud_and_masks_rays():
+    import jax
+    import jax.numpy as jnp
+    from nerf2mesh_tpu.models.network import NetworkSpec, init_network
+    from nerf2mesh_tpu.models.renderer import RenderSpec, render_train
+
+    net_spec = NetworkSpec(bound=1.0)
+    rspec = RenderSpec(bound=1.0, grid_size=32, max_steps=64,
+                       num_coarse=32, num_fine=8, dt_gamma=0.0)
+    params = init_network(jax.random.PRNGKey(0), net_spec)
+    N = 64
+    rays_o = jnp.tile(jnp.asarray([[0.0, 0.0, 2.0]]), (N, 1))
+    rays_d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (N, 1))
+    occ = jnp.ones((1, 32, 32, 32), jnp.uint8)
+    bg = jnp.ones((N, 3))
+    out = render_train(params, occ, rays_o, rays_d, bg,
+                       jax.random.PRNGKey(2), rspec, net_spec,
+                       shading="full", perturb=False, pool_size=128)
+    assert int(out["pool_overflow"]) > 0
+    assert not bool(jnp.all(out["ray_kept"]))

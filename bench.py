@@ -25,7 +25,7 @@ import time
 BASELINE_RAYS_PER_SEC = 2.0e5
 
 NUM_RAYS = 4096
-WARMUP_STEPS = 96
+WARMUP_STEPS = 256
 BENCH_STEPS = 32
 
 

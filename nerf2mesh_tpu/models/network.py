@@ -53,7 +53,7 @@ class NetworkSpec:
     # window kernel (fine levels without 128-point locality; the trainer
     # probes per-level residual rates and rewires this between compiles).
     encode_gather_levels: Tuple[int, ...] = ()
-    encode_resid_budget: int = 1 << 18
+    encode_resid_budget: int = 1 << 19
 
     @property
     def density_grid_spec(self) -> HashGridSpec:

@@ -93,3 +93,24 @@ def test_dtu_decompose_projection():
     # pose is cam2world: R^T and camera center -R^T t
     np.testing.assert_allclose(pose[:3, :3], q.T, atol=1e-8)
     np.testing.assert_allclose(pose[:3, 3], -q.T @ t, atol=1e-6)
+
+
+def test_hard_scene_generator(tmp_path):
+    """HardScene: textured/thin/specular proxy renders + round-trips."""
+    import numpy as np
+    from nerf2mesh_tpu.data.synthetic import (HardScene,
+                                              generate_synthetic_dataset)
+    root = generate_synthetic_dataset(
+        str(tmp_path / "hard"), scene=HardScene(), H=48, W=48,
+        n_train=2, n_val=1, n_test=1)
+    from nerf2mesh_tpu.config import Config
+    from nerf2mesh_tpu.data.provider import load_nerf_dataset
+    cfg = Config(path=root).finalize()
+    ds = load_nerf_dataset(cfg, "train")
+    assert ds.images.shape == (2, 48, 48, 4)
+    a = ds.images[..., 3] / 255.0
+    assert 0.05 < a.mean() < 0.6          # object coverage
+    # view dependence: specular highlights move between views
+    s = HardScene()
+    d = s.sdf(np.random.uniform(-0.8, 0.8, (2000, 3)).astype(np.float32))
+    assert (d < 0).any() and (d > 0.1).any()

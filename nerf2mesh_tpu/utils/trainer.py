@@ -1203,6 +1203,9 @@ class Trainer:
             "num_rays": self.num_rays,
             "stage": self.cfg.stage,
             "stats": self.stats,
+            "format": 2,
+            # architecture snapshot for drift diagnostics on load
+            "net_spec": repr(self.net_spec),
         }
         path = self._ckpt_path(tag)
         with open(path, "wb") as f:
@@ -1232,14 +1235,67 @@ class Trainer:
         with open(path, "rb") as f:
             payload = pickle.load(f)
         st = payload["state"]
+
+        # non-strict parameter merge (reference load_checkpoint logs
+        # missing/unexpected keys and keeps going, utils.py:1407-1473):
+        # keys absent from the checkpoint keep their fresh init; unexpected
+        # or shape-mismatched entries are dropped — both reported.
+        def merge(cur, loaded, scope):
+            cur_paths, treedef = jax.tree_util.tree_flatten_with_path(cur)
+            ld = {jax.tree_util.keystr(p): v for p, v in
+                  jax.tree_util.tree_flatten_with_path(loaded)[0]}
+            out, clean = [], True
+            seen = set()
+            for p, v in cur_paths:
+                k = jax.tree_util.keystr(p)
+                seen.add(k)
+                if k not in ld:
+                    self.log(f"[WARN] checkpoint {scope}{k}: missing — "
+                             "keeping fresh init")
+                    out.append(v)
+                    clean = False
+                elif np.shape(ld[k]) != np.shape(v):
+                    self.log(f"[WARN] checkpoint {scope}{k}: shape "
+                             f"{np.shape(ld[k])} vs {np.shape(v)} — "
+                             "keeping fresh init")
+                    out.append(v)
+                    clean = False
+                else:
+                    out.append(jnp.asarray(ld[k]))
+            for k in ld:
+                if k not in seen:
+                    self.log(f"[WARN] checkpoint {scope}{k}: unexpected — "
+                             "dropped")
+                    clean = False
+            return jax.tree_util.tree_unflatten(treedef, out), clean
+
         to_dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
-        if payload.get("stage", 0) != self.cfg.stage:
-            # stage handoff: only model params transfer (utils.py:587-589)
+        params, pok = merge(self.state.params, st.params, "params")
+        ema, eok = merge(self.state.ema_params, st.ema_params, "ema")
+        render_ok = all(
+            np.shape(a) == np.shape(b)
+            for a, b in zip(jax.tree_util.tree_leaves(self.state.render),
+                            jax.tree_util.tree_leaves(st.render)))
+        render = to_dev(st.render) if render_ok else self.state.render
+        if not render_ok:
+            self.log("[WARN] checkpoint render state shape drift; keeping "
+                     "fresh occupancy grid")
+
+        if payload.get("stage", 0) != self.cfg.stage or not (pok and eok):
+            # stage handoff (utils.py:587-589) or partial restore: model
+            # params only — optimizer/step restart
             self.state = self.state._replace(
-                params=to_dev(st.params), ema_params=to_dev(st.ema_params),
-                render=to_dev(st.render))
+                params=params, ema_params=ema, render=render)
         else:
-            self.state = TrainState(*(to_dev(x) for x in st))
+            self.state = TrainState(
+                params=params,
+                opt_state=to_dev(st.opt_state),
+                ema_params=ema,
+                ema_count=jnp.asarray(st.ema_count),
+                render=render,
+                step=jnp.asarray(st.step),
+                key=jnp.asarray(st.key),
+            )
         self.num_rays = payload.get("num_rays", self.cfg.num_rays)
         self.log(f"[INFO] loaded checkpoint {path} (step {int(self.state.step)})")
         return True

@@ -87,3 +87,34 @@ def test_checkpoint_resume(scene_root, workspace):
     assert start >= 300
     t.train(ds)                             # continues to 310
     assert int(t.state.step) == 310
+
+
+def test_checkpoint_nonstrict_load(tmp_path):
+    """Schema-drifted checkpoints load partially with loud warnings
+    (reference utils.py:1407-1473 non-strict load)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from nerf2mesh_tpu.config import Config
+    from nerf2mesh_tpu.utils.trainer import Trainer
+
+    cfg = Config(path=str(tmp_path), workspace=str(tmp_path / "ws"),
+                 grid_size=32, num_levels=4, log2_hashmap_size=10).finalize()
+    tr = Trainer(cfg)
+    tr.state = tr.state._replace(step=jnp.asarray(7, jnp.int32))
+    tr.save_checkpoint()
+
+    # same architecture: full restore including step
+    tr2 = Trainer(cfg)
+    assert tr2.load_checkpoint()
+    assert int(tr2.state.step) == 7
+
+    # drifted architecture (different table size): partial restore, no crash
+    cfg3 = dataclasses.replace(cfg, log2_hashmap_size=11).finalize()
+    tr3 = Trainer(cfg3)
+    old = np.asarray(jax.tree_util.tree_leaves(tr3.state.params)[0]).copy()
+    assert tr3.load_checkpoint(
+        str(tmp_path / "ws" / "checkpoints" / "ngp_stage0_latest.ckpt"))
+    # mismatched table kept fresh init; matching mlps restored
+    assert int(tr3.state.step) == 0

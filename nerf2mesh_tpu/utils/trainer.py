@@ -492,10 +492,16 @@ class Trainer:
                      f"{sorted(new)} (resid rates "
                      f"{[round(float(r), 2) for r in rates]})")
 
-    def _bucket(self, n: int, lo: int = 1024, hi: int = 16384) -> int:
-        # cap so rays * samples_per_ray stays within ~2x the point budget —
-        # the encode intermediates at ~500k+ points exceed HBM (PERF.md)
-        cap = max(lo, (2 * self.cfg.num_points) // max(self.cfg.samples_per_ray, 1))
+    def _bucket(self, n: int, lo: int = 1024, hi: int = 32768) -> int:
+        # With pool compaction the field cost is O(num_points) regardless of
+        # ray count; rays are bounded only by the sampler's dense per-slot
+        # tensors ([N, Kf, Kc] one-hot ~ N*16KB), so allow rays up to 4x the
+        # point budget over samples_per_ray (the reference reaches its 2^18
+        # point target the same way, utils.py:796-797).
+        cap = max(lo, (4 * self.cfg.num_points) // max(self.cfg.samples_per_ray, 1))
+        if self.pool_size is None:
+            # dense layout: encode cost scales with N*K — keep the old cap
+            cap = max(lo, (2 * self.cfg.num_points) // max(self.cfg.samples_per_ray, 1))
         n = max(lo, min(hi, min(cap, n)))
         return 1 << int(round(np.log2(n)))
 

@@ -282,7 +282,9 @@ class Trainer:
             cos_anneal_ratio=dyn.cos_anneal_ratio,
             normal_epsilon=dyn.normal_epsilon,
             aabb=jnp.asarray(self._aabb),
-            pool_size=self.pool_size,
+            # under shard_map each shard pools its share of the point budget
+            pool_size=(None if self.pool_size is None
+                       else max(128, self.pool_size // self.n_shards)),
         )
 
         from .losses import CRITERIA

@@ -87,6 +87,7 @@ class ViewerServer:
         self.port = port
         self.budget_ms = budget_ms
         self.downscale = 4            # dynamic, like gui.py:158-163
+        self._compiled_shapes = set()  # (stage, H, W) already jit-compiled
         self.lock = threading.Lock()
         self.train_dataset = train_dataset
         self.train_status = {}
@@ -149,8 +150,14 @@ class ViewerServer:
             else:
                 out = self.trainer.render_image(pose, intr, H, W)
         dt_ms = (time.time() - t0) * 1000
-        # dynamic resolution against the frame budget (gui.py:158-163)
-        if dt_ms > self.budget_ms and self.downscale < 16:
+        # dynamic resolution against the frame budget (gui.py:158-163).
+        # The first frame at a new (stage, H, W) pays jit compilation —
+        # excluding it keeps the controller from halving resolution on a
+        # one-off compile stall.
+        shape_key = (self.trainer.cfg.stage, H, W)
+        if shape_key not in self._compiled_shapes:
+            self._compiled_shapes.add(shape_key)
+        elif dt_ms > self.budget_ms and self.downscale < 16:
             self.downscale *= 2
         elif dt_ms < self.budget_ms / 4 and self.downscale > 1:
             self.downscale //= 2

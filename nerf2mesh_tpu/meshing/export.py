@@ -155,15 +155,31 @@ def export_stage1_package(trainer, out_dir: str, h0: int = 2048,
             cur_h //= 2
             cur_w //= 2
 
-    # specular MLP -> mlp.json (renderer.py:454-468); torch layout keys
-    mlp = {}
-    for l, layer in enumerate(params["specular_net"]):
-        mlp[f"net.{l}.weight"] = np.asarray(layer["w"]).tolist()
-    mlp["bound"] = trainer.render_spec.grid_bound
-    mlp["cascade"] = cascades
-    with open(os.path.join(out_dir, "mlp.json"), "w") as fp:
-        json.dump(mlp, fp, indent=2)
+    write_mlp_json(params["specular_net"], trainer.render_spec.grid_bound,
+                   cascades, out_dir)
     trainer.log("[INFO] wrote mlp.json")
+
+
+def write_mlp_json(specular_net, bound: float, cascades: int,
+                   out_dir: str) -> str:
+    """Specular MLP -> mlp.json (renderer.py:454-468).
+
+    Contract (consumed by the reference renderer.html:200-202, 424-455):
+    keys ``net.{l}.weight`` hold [in][out]-oriented weight lists (the
+    reference dumps torch's [out,in] transposed, renderer.py:459); plus
+    scalars ``bound`` and ``cascade``.  tests/test_export_contract.py
+    emulates the reference GLSL pipeline against this file.
+    """
+    import json
+    mlp = {}
+    for l, layer in enumerate(specular_net):
+        mlp[f"net.{l}.weight"] = np.asarray(layer["w"]).tolist()
+    mlp["bound"] = bound
+    mlp["cascade"] = cascades
+    path = os.path.join(out_dir, "mlp.json")
+    with open(path, "w") as fp:
+        json.dump(mlp, fp, indent=2)
+    return path
 
 
 def mark_unseen_triangles(verts: np.ndarray, tris: np.ndarray,

@@ -241,7 +241,16 @@ def build_parser() -> argparse.ArgumentParser:
             typ = str if f.name == "mesh_axes" else (float if f.name == "offset" else int)
             p.add_argument(flag, type=typ, nargs="*", default=list(val))
         elif isinstance(val, bool):
-            p.add_argument(flag, action="store_true", default=False)
+            if val:
+                # True-default booleans (e.g. pool_points) must keep their
+                # dataclass default through the CLI; a bare store_true would
+                # silently flip them off for every CLI run (this pinned the
+                # adaptive ray cap at the dense-layout bound and disabled
+                # pool compaction in all main.py runs)
+                p.add_argument(flag, action=argparse.BooleanOptionalAction,
+                               default=True)
+            else:
+                p.add_argument(flag, action="store_true", default=False)
         else:
             p.add_argument(flag, type=type(val), default=val)
     return p

@@ -505,7 +505,10 @@ class Trainer:
             # dense layout: encode cost scales with N*K — keep the old cap
             cap = max(lo, (2 * self.cfg.num_points) // max(self.cfg.samples_per_ray, 1))
         n = max(lo, min(hi, min(cap, n)))
-        return 1 << int(round(np.log2(n)))
+        b = 1 << int(round(np.log2(n)))
+        if b > min(hi, cap):     # round-to-nearest may overshoot the cap
+            b >>= 1
+        return max(b, lo)
 
     def sdf_pretrain(self, iters: int = 2000, batch_size: int = 8192):
         """Double-sphere SDF init (reference network.py:111-131); runs when

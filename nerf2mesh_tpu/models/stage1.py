@@ -271,6 +271,7 @@ def refine_and_decimate(
     counts: np.ndarray,            # [F]
     cfg,
     workspace: str,
+    max_faces: int = 0,
 ) -> Stage1Mesh:
     """Percentile-driven decimate/subdivide of the inner mesh; writes
     mesh_{cas}_updated.ply and returns the rebuilt topology."""
@@ -301,6 +302,11 @@ def refine_and_decimate(
     os.makedirs(out_dir, exist_ok=True)
 
     cascades = len(mesh.v_cumsum) - 1
+    # hard face budget: the rasterizer compacts crop-overlapping triangles
+    # to K<=2^18 slots; a mesh larger than that guarantees dropped triangles
+    # on object-filling crops (trainer._raster_spec)
+    budget = max_faces if max_faces > 0 else (1 << 18)
+    n_outer = mesh.f_cumsum[-1] - mesh.f_cumsum[1]
     verts, tris = [], []
     v_cumsum, f_cumsum = [0], [0]
     for cas in range(cascades):
@@ -312,6 +318,12 @@ def refine_and_decimate(
                 cv, cf, mask, decimate_ratio=cfg.refine_decimate_ratio,
                 refine_size=cfg.refine_size,
                 refine_remesh_size=cfg.refine_remesh_size)
+            inner_budget = budget - int(n_outer)
+            if len(cf) > inner_budget:
+                print(f"[refine_and_decimate] {len(cf)} inner faces exceed "
+                      f"the raster budget {inner_budget}; decimating back")
+                cv, cf = meshops.decimate_mesh(
+                    cv, cf, target=int(inner_budget * 0.95))
         write_ply(os.path.join(out_dir, f"mesh_{cas}_updated.ply"), cv, cf)
         verts.append(cv)
         tris.append(cf + v_cumsum[-1])

@@ -874,8 +874,13 @@ class Trainer:
     def _raster_spec(self):
         from ..models.rasterizer import RasterSpec
         ntri = getattr(self, "stage1_mesh", None)
+        # compaction budget K must cover the worst-case crop overlap, which
+        # for an object-filling crop approaches the full face count (the
+        # capstone measured 151k triangles overlapping one 128^2 crop of a
+        # 233k-face mesh; K=2^17 dropped 13% of them).  Ceiling 2^18 keeps
+        # [K, B, B] fragment tensors ~1.5 GB with autodiff — fine on 16 GB.
         cap = 2 ** 15 if ntri is None else min(
-            2 ** 17, 1 << int(np.ceil(np.log2(max(ntri.num_faces, 2)))))
+            2 ** 18, 1 << int(np.ceil(np.log2(max(ntri.num_faces, 2)))))
         return RasterSpec(crop=getattr(self, "_s1_crop", 128),
                           max_tris=cap, frag=8)
 

@@ -66,8 +66,13 @@ def test_stage1_trains_on_stage0(scene_root, workspace):
     t = Trainer(cfg)
     assert t.load_checkpoint(stage=0)       # stage handoff
     t.setup_stage1(ds)
+    # the raster compaction budget must cover the whole mesh: an
+    # object-filling crop can overlap every face (round-1 failure mode:
+    # silent triangle drops past K)
+    assert t._raster_spec().max_tris >= t.stage1_mesh.num_faces
     m = t.train_stage1(ds)
     assert np.isfinite(float(m["loss"]))
+    assert float(m.get("overflow", 0)) == 0
     # offsets got gradients and stayed finite (NaN-at-zero norm regression)
     off = np.asarray(t.state.params["vertices_offsets"])
     assert np.isfinite(off).all()

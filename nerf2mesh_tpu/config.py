@@ -81,6 +81,9 @@ class Config:
     # compact valid samples into a fixed pool before the field evaluation
     # (encoder+MLP cost O(num_points) instead of O(num_rays*samples_per_ray))
     pool_points: bool = True
+    # train-only stochastic 1-corner sampling on gather-routed fine hash
+    # levels: unbiased trilinear estimate at 8x fewer random table rows
+    stochastic_fine: bool = False
 
     # TPU-specific batch layout: field samples per ray (dense [N, K] layout).
     # The reference marches a variable number of points per ray (up to

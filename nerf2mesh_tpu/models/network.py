@@ -54,6 +54,9 @@ class NetworkSpec:
     # probes per-level residual rates and rewires this between compiles).
     encode_gather_levels: Tuple[int, ...] = ()
     encode_resid_budget: int = 1 << 19
+    # train-only unbiased 1-corner sampling on gather-routed levels (8x fewer
+    # random table rows); eval paths keep exact trilinear interpolation
+    encode_stochastic: bool = False
 
     @property
     def density_grid_spec(self) -> HashGridSpec:
@@ -153,7 +156,8 @@ def _encode(table, x01, gspec, max_level, spec: "NetworkSpec",
             table, x01, gspec,
             resid_budget=spec.encode_resid_budget,
             sort=not pre_sorted,
-            gather_levels=spec.encode_gather_levels)
+            gather_levels=spec.encode_gather_levels,
+            stochastic=spec.encode_stochastic)
         return _mask_levels(h, max_level, gspec), cnt
     if _use_sweep(gspec):
         from ..ops.pallas_encode import sweep_encode

@@ -490,6 +490,7 @@ def _fallback_feat(table, idx, w_all, oob, spec):
 def splat_encode_raw(table: jax.Array, x01: jax.Array, spec: HashGridSpec,
                      resid_budget: int = 1 << 17,
                      gather_levels: Tuple[int, ...] = (),
+                     stochastic: bool = False,
                      interpret: bool = False):
     """Exact hashgrid encode: splat kernels + budgeted residual, with
     per-level routing.
@@ -539,7 +540,39 @@ def splat_encode_raw(table: jax.Array, x01: jax.Array, spec: HashGridSpec,
     by_level = {}
 
     # --- gather-routed levels (one fused gather over their corners)
-    if gather_levels:
+    if gather_levels and stochastic:
+        # TRAIN-ONLY unbiased 1-corner estimator: sample ONE of the 8
+        # trilinear corners per (point, level) with probability equal to its
+        # weight; contribution = value * total_weight.  E[contrib] equals
+        # full trilinear interpolation, and gather/scatter row counts drop
+        # 8x on the random-access-bound fine levels (the step wall, PERF.md).
+        # Randomness derives from the position bits: ray sampling re-jitters
+        # positions every step, so the estimate decorrelates across steps.
+        gl = list(gather_levels)
+        xb = jax.lax.bitcast_convert_type(xc, jnp.uint32)         # [N, 3]
+        hsh = (xb[:, 0] * jnp.uint32(_PRIMES[0])
+               ^ xb[:, 1] * jnp.uint32(_PRIMES[1])
+               ^ xb[:, 2] * jnp.uint32(_PRIMES[2]))
+        idx1_l, w1_l = [], []
+        for l in gl:
+            hl = hsh ^ jnp.uint32((l * 0x9E3779B9) & 0xFFFFFFFF)
+            u = ((hl >> 8) & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65536.0
+            w8 = wa3[:, l]                                        # [N, 8]
+            cdf = jnp.cumsum(w8, axis=-1)
+            total = cdf[:, -1]
+            k = jnp.sum((u * total)[:, None] >= cdf, axis=-1)     # [N] in 0..7
+            k = jnp.minimum(k, 7)
+            onehot = (jnp.arange(8)[None] == k[:, None])
+            idx8 = idx.reshape(N, L, 8)[:, l]
+            idx1_l.append(jnp.sum(jnp.where(onehot, idx8, 0), axis=-1))
+            w1_l.append(total)
+        idx_g = jnp.stack(idx1_l, axis=1).reshape(-1)             # [N*G]
+        w_g = jnp.stack(w1_l, axis=1).reshape(-1)
+        vals = gather_rows(table, idx_g)                          # [N*G, C]
+        contrib = (w_g[:, None] * vals).reshape(N, len(gl), C)
+        for i, l in enumerate(gl):
+            by_level[l] = contrib[:, i]
+    elif gather_levels:
         gl = list(gather_levels)
         idx_g = jnp.concatenate(
             [idx.reshape(N, L, 8)[:, l] for l in gl], axis=1).reshape(-1)
@@ -602,6 +635,7 @@ def splat_encode_raw(table: jax.Array, x01: jax.Array, spec: HashGridSpec,
 def splat_encode(table: jax.Array, x01: jax.Array, spec: HashGridSpec,
                  resid_budget: int = 1 << 17, sort: bool = True,
                  gather_levels: Tuple[int, ...] = (),
+                 stochastic: bool = False,
                  interpret: bool = False):
     """Drop-in exact replacement for hashgrid_encode on block512 specs.
 
@@ -618,7 +652,7 @@ def splat_encode(table: jax.Array, x01: jax.Array, spec: HashGridSpec,
         perm, inv = morton_perm(xp)
         xp = permute(xp, perm, inv)
     feat, cnt = splat_encode_raw(table, xp, spec, resid_budget,
-                                 gather_levels, interpret)
+                                 gather_levels, stochastic, interpret)
     if sort:
         feat = permute(feat, inv, perm)
     return feat[:N0], cnt

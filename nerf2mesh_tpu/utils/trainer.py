@@ -197,6 +197,9 @@ class Trainer:
           colmap_provider.py:505-522).
         """
         cfg, rspec, nspec = self.cfg, self.render_spec, self.net_spec
+        if cfg.stochastic_fine:
+            # train step only — eval/grid/export paths keep exact trilinear
+            nspec = dataclasses.replace(nspec, encode_stochastic=True)
         B, H, W, C = images_u8.shape
         k_img, k_pix, k_bg, k_march, k_sd = jax.random.split(key, 5)
 

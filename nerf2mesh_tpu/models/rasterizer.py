@@ -42,6 +42,9 @@ class RasterSpec:
     max_tris: int = 8192       # triangle budget per crop after compaction
     frag: int = 8              # fragment block side: frag x frag superpixels
     soft_px: float = float(np.sqrt(2.0))  # softness radius of edge alpha (px)
+    # live-fragment budget: pixel scatters run on this many compacted rows
+    # (~crop^2 x expected depth complexity; overflow is counted loudly)
+    max_frags: int = 1 << 20
 
 
 def transform_clip(verts: jax.Array, mvp: jax.Array) -> jax.Array:
@@ -195,39 +198,64 @@ def rasterize_crop(
     depth_key = jnp.where(outside, depth_det + 4.0, depth_det)
     depth_key = jnp.where(live.reshape(-1), depth_key, jnp.inf)
 
-    zmin = jnp.full((NP,), jnp.inf, f32).at[pix_flat].min(depth_key)
-    frag_wins = depth_key <= (jnp.take(zmin, pix_flat) + 1e-9)
+    # --- live-fragment compaction.  Only a small fraction of the dense
+    # [K, B, B] fragment grid is live (past-budget slots, out-of-bbox and
+    # outside-triangle samples are dead — ~6% at capstone scale), but HBM
+    # scatters pay per ROW (~0.1 G rows/s, PERF.md).  Compact live fragment
+    # ids once (a sort — 0.4 G elem/s), then run every pixel scatter on P
+    # rows instead of K*B*B.  Dropped-on-overflow fragments are counted.
+    NF = K * B * B
+    P = min(spec.max_frags, NF)
+    live_flat = live.reshape(-1)
+    frag_iota = jnp.arange(NF, dtype=jnp.int32)
+    lid_sorted = jax.lax.sort(jnp.where(live_flat, frag_iota, NF))
+    lid_raw = jax.lax.slice_in_dim(lid_sorted, 0, P)
+    valid_f = lid_raw < NF
+    lid = jnp.where(valid_f, lid_raw, 0)
+    n_live = jnp.sum(live_flat.astype(jnp.int32))
+    frag_overflow = jnp.maximum(n_live - P, 0)
 
-    frag_ids = jnp.arange(K * B * B, dtype=jnp.int32)
-    frag_ids_masked = jnp.where(frag_wins, frag_ids, K * B * B)
-    win_id = jnp.full((NP,), K * B * B, jnp.int32).at[pix_flat].min(frag_ids_masked)
-    is_winner = frag_ids == jnp.take(win_id, pix_flat)             # unique per pixel
+    pixc = jnp.where(valid_f, jnp.take(pix_flat, lid), Cp * Cp)
+    keyc = jnp.where(valid_f, jnp.take(depth_key, lid), jnp.inf)
 
-    wmask = is_winner.reshape(K, B, B).astype(f32)
+    zmin = jnp.full((NP,), jnp.inf, f32).at[pixc].min(keyc)
+    frag_wins = keyc <= (jnp.take(zmin, pixc) + 1e-9)
+
+    cand = jnp.where(frag_wins & valid_f, lid, NF)
+    win_id = jnp.full((NP,), NF, jnp.int32).at[pixc].min(cand)
+
+    # winner fields by GATHER on win_id (16k rows) — NOT a scatter-add over
+    # all fragments.  Gradient flows through the take; its backward is a
+    # 16k-row scatter into the fragment field.
+    covered_flat = win_id[:-1] < NF
+    win_safe = jnp.where(covered_flat, win_id[:-1], 0)
 
     def resolve(field):
-        flat = (field * wmask).reshape(-1)
-        return jnp.zeros((NP,), f32).at[pix_flat].add(flat)[:-1].reshape(Cp, Cp)
+        out = jnp.take(field.reshape(-1), win_safe)
+        return jnp.where(covered_flat, out, 0.0).reshape(Cp, Cp)
 
-    tri_of_frag = jnp.broadcast_to(sid[:, None, None].astype(f32), (K, B, B))
-    out_tri = resolve(tri_of_frag).astype(jnp.int32)
-    covered = resolve(jnp.ones_like(wmask)) > 0
-    out_tri = jnp.where(covered, out_tri, -1)
+    out_tri = jnp.where(
+        covered_flat, jnp.take(sid, win_safe // (B * B)), -1).reshape(Cp, Cp)
+    covered = covered_flat.reshape(Cp, Cp)
 
     # coverage alpha: max over ALL live fragments (not just the depth winner),
     # so interior tri-tri edges stay opaque; only true silhouettes go soft.
-    alpha_flat = jnp.where(live.reshape(-1), alpha.reshape(-1), 0.0)
-    alpha_img = jnp.zeros((NP,), f32).at[pix_flat].max(alpha_flat)[:-1]
-    # a pixel center strictly inside ANY triangle is interior to the mesh
+    # A pixel center strictly inside ANY triangle is interior to the mesh
     # surface, not near its silhouette — force it opaque.  Without this,
     # sub-pixel triangles (dense stage-1 meshes) cap every interior pixel's
     # per-triangle edge distance near 0 and the whole surface renders
     # half-transparent.  Soft (differentiable) alpha remains exactly on
     # silhouette pixels outside all triangles, which is where nvdiffrast's
     # antialias propagates vertex gradients too (renderer.py:884-887).
-    strict_in = jnp.where(live.reshape(-1) & (sdist.reshape(-1) > -1e-3),
-                          1.0, 0.0)
-    covered_strict = jnp.zeros((NP,), f32).at[pix_flat].max(strict_in)[:-1]
+    # Both ride the compacted fragment list: one packed W=2 gather + two
+    # P-row scatter-maxes.
+    packed = jnp.stack(
+        [alpha.reshape(-1),
+         (sdist.reshape(-1) > -1e-3).astype(f32)], axis=-1)      # [NF, 2]
+    pc = jnp.take(packed, lid, axis=0) * valid_f[:, None].astype(f32)
+    alpha_img = jnp.zeros((NP,), f32).at[pixc].max(pc[:, 0])[:-1]
+    covered_strict = jnp.zeros((NP,), f32).at[pixc].max(
+        jax.lax.stop_gradient(pc[:, 1]))[:-1]
     alpha_img = jnp.maximum(alpha_img, covered_strict)
 
     return {
@@ -236,7 +264,7 @@ def rasterize_crop(
         "depth": resolve(depth),
         "alpha": jnp.clip(alpha_img.reshape(Cp, Cp), 0.0, 1.0),
         "covered": covered,
-        "overflow": overflow,
+        "overflow": overflow + frag_overflow,
     }
 
 

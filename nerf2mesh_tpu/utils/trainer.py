@@ -330,7 +330,11 @@ class Trainer:
             loss = loss + cfg.lambda_specular * jnp.sum(spec_l) / n_valid
 
         if cfg.sdf and cfg.lambda_eikonal > 0:
-            nrm = jnp.linalg.norm(out["normal"], axis=-1)
+            # double-where: out-of-pool sentinel slots carry an exactly-zero
+            # FD normal, and d(sqrt)/dx at 0 is inf — masking only the VALUE
+            # still backprops NaN (0 * inf) into every parameter
+            nrm2 = jnp.sum(out["normal"] ** 2, axis=-1)
+            nrm = jnp.sqrt(jnp.where(out["pp_valid"], nrm2, 1.0))
             eik = jnp.where(out["pp_valid"], (nrm - 1.0) ** 2, 0.0)
             n_valid = jnp.maximum(jnp.sum(out["pp_valid"]), 1)
             loss = loss + cfg.lambda_eikonal * jnp.sum(eik) / n_valid

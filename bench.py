@@ -52,6 +52,8 @@ def main():
         num_rays=NUM_RAYS, num_points=2 ** 18, max_steps=1024,
         grid_size=128, diffuse_step=1000, random_image_batch=True,
         background="random", mark_untrained=True, adaptive_num_rays=True,
+        stochastic_fine=os.environ.get(
+            "NERF2MESH_BENCH_STOCHASTIC", "0") == "1",
         workspace="/tmp/bench_ws",
     ).finalize()
 

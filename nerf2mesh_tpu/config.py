@@ -84,6 +84,11 @@ class Config:
     # train-only stochastic 1-corner sampling on gather-routed fine hash
     # levels: unbiased trilinear estimate at 8x fewer random table rows
     stochastic_fine: bool = False
+    # exact window-sorted splat kernel for fine hash levels (sort points by
+    # block-window id per level; MXU matmuls + ~18% crossing-corner residual
+    # instead of an 8-corner random gather).  Exact, so it also serves eval;
+    # ignored on levels where stochastic_fine applies
+    winsort_fine: bool = False
 
     # TPU-specific batch layout: field samples per ray (dense [N, K] layout).
     # The reference marches a variable number of points per ray (up to

@@ -57,6 +57,11 @@ class NetworkSpec:
     # train-only unbiased 1-corner sampling on gather-routed levels (8x fewer
     # random table rows); eval paths keep exact trilinear interpolation
     encode_stochastic: bool = False
+    # exact window-sorted kernel for fine levels: per-level sort by block
+    # window id -> single-block splat matmuls + ~18% crossing-corner residual
+    # (ops/splat_encode.py winsort).  Applied to levels ALSO present in
+    # encode_gather_levels; stochastic takes precedence when enabled.
+    encode_winsort_levels: Tuple[int, ...] = ()
 
     @property
     def density_grid_spec(self) -> HashGridSpec:
@@ -157,7 +162,9 @@ def _encode(table, x01, gspec, max_level, spec: "NetworkSpec",
             resid_budget=spec.encode_resid_budget,
             sort=not pre_sorted,
             gather_levels=spec.encode_gather_levels,
-            stochastic=spec.encode_stochastic)
+            stochastic=spec.encode_stochastic,
+            winsort_levels=(() if spec.encode_stochastic
+                            else spec.encode_winsort_levels))
         return _mask_levels(h, max_level, gspec), cnt
     if _use_sweep(gspec):
         from ..ops.pallas_encode import sweep_encode

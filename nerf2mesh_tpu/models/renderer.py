@@ -87,8 +87,6 @@ def grid_cell_centers(spec: RenderSpec) -> jax.Array:
 GRID_UPDATE_SLABS = 8
 
 
-@partial(jax.jit, static_argnames=("spec", "net_spec", "decay", "slab",
-                                   "trainable", "lambda_density", "grid_lr"))
 def update_density_grid(
     params: Dict[str, Any],
     state: RenderState,
@@ -111,24 +109,58 @@ def update_density_grid(
     amortizes that cost 8x with slightly stale occupancy (the same trade
     instant-NGP's official partial grid updates make).
 
-    trainable=True is --trainable_density_grid (renderer.py:1123-1149): the
+    The slab index is a TRACED argument of one shared jit: a full refresh is
+    GRID_UPDATE_SLABS executions of the same compiled program, not
+    GRID_UPDATE_SLABS separate compiles (each step-sized compile costs tens
+    of seconds on this backend).
+    """
+    if slab < 0:
+        it0 = state.iter_density
+        for s in range(GRID_UPDATE_SLABS):
+            state = _update_density_slab(
+                params, state, jax.random.fold_in(key, s), spec, net_spec,
+                max_level, jnp.asarray(s, jnp.int32), decay=decay,
+                trainable=trainable, lambda_density=lambda_density,
+                grid_lr=grid_lr)
+        # a full refresh is ONE logical grid update
+        return state._replace(iter_density=it0 + 1)
+    return _update_density_slab(
+        params, state, key, spec, net_spec, max_level,
+        jnp.asarray(slab, jnp.int32), decay=decay, trainable=trainable,
+        lambda_density=lambda_density, grid_lr=grid_lr)
+
+
+@partial(jax.jit, static_argnames=("spec", "net_spec", "decay",
+                                   "trainable", "lambda_density", "grid_lr"))
+def _update_density_slab(
+    params: Dict[str, Any],
+    state: RenderState,
+    key: jax.Array,
+    spec: RenderSpec,
+    net_spec: NetworkSpec,
+    max_level: Optional[jax.Array],
+    slab: jax.Array,
+    decay: float = 0.95,
+    trainable: bool = False,
+    lambda_density: float = 0.0,
+    grid_lr: float = 1e-2,
+) -> RenderState:
+    """trainable=True is --trainable_density_grid (renderer.py:1123-1149): the
     grid descends an MSE-to-fresh-queries loss plus a cascaded mean-density
     regularizer instead of the EMA-max.  The reference adds that loss to the
     train objective and lets its Adam update the grid parameter; the gradient
     only touches the grid (queries are detached), so the equivalent here is a
-    self-contained descent step on the analytic slab loss.
-    """
+    self-contained descent step on the analytic slab loss."""
     H, CAS = spec.grid_size, spec.cascades
     f32 = jnp.float32
-    if slab < 0:
-        x_lo, x_hi = 0, H
-    else:
-        sh = H // GRID_UPDATE_SLABS
-        x_lo, x_hi = slab * sh, (slab + 1) * sh
-    HX = x_hi - x_lo
+    sh = H // GRID_UPDATE_SLABS
+    x_lo = slab * sh
+    HX = sh
 
+    gi = jnp.arange(HX, dtype=f32) + x_lo.astype(f32)
+    ax_x = 2.0 * gi / (H - 1) - 1.0
     ax = lambda lo, hi: 2.0 * jnp.arange(lo, hi, dtype=f32) / (H - 1) - 1.0
-    gx, gy, gz = jnp.meshgrid(ax(x_lo, x_hi), ax(0, H), ax(0, H), indexing="ij")
+    gx, gy, gz = jnp.meshgrid(ax_x, ax(0, H), ax(0, H), indexing="ij")
     xyzs01 = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)   # [HX*H*H, 3]
 
     tmp = []

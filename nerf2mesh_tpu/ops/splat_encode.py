@@ -337,6 +337,200 @@ def _level_pallas_bwd(x_t, bases, rows, g_t, n_win, spec, l, interpret=False):
 
 
 # ---------------------------------------------------------------------------
+# window-sorted single-block kernels for fine (hashed) levels
+#
+# Fine levels have no 128-point SPATIAL locality (PERF.md: mean
+# nearest-neighbor distance ~12 cells at the finest level), but in the
+# block512 layout a level has only table_size/512 windows (1024 at the 2^19
+# default) — so sorting the points BY WINDOW ID makes 128-point tiles touch
+# 1-2 windows, and the in-BLOCK part of each point's trilinear stencil
+# becomes one [24,64]x[64,128] MXU matmul per (tile, window-slot).  Corners
+# that cross into a neighbor block (~18% for uniformly placed points: the
+# corner's block hashes elsewhere) are repaired exactly by a budgeted
+# residual gather, like the kernel group's.
+# ---------------------------------------------------------------------------
+
+
+def _ws_geom(x_ref, scale, shift):
+    """Per-point own-block local floors + fracs (no tile-shared base)."""
+    def one(row):
+        p = x_ref[row:row + 1, :] * scale + shift
+        g = jnp.floor(p)
+        f = p - g
+        lg = g - 8.0 * jnp.floor(g * 0.125)          # g mod 8, exact in f32
+        return lg, f
+    return one(0), one(1), one(2)
+
+
+def _ws_fwd_kernel(scale, shift, rows_ref, x_ref, tab_ref, out_ref):
+    t = pl.program_id(0)
+    (lgx, fx), (lgy, fy), (lgz, fz) = _ws_geom(x_ref, scale, shift)
+    wp = x_ref[3:4, :]                                # point window id (float)
+
+    j = jax.lax.broadcasted_iota(jnp.int32, (64, 128), 0)
+    iy = (j & 7).astype(jnp.float32)
+    iz = (j >> 3).astype(jnp.float32)
+    r24 = jax.lax.broadcasted_iota(jnp.int32, (24, 128), 0)
+    ix24 = (r24 & 7).astype(jnp.float32)              # row = c*8 + x
+
+    wyz = _axis_w(iy, lgy, fy) * _axis_w(iz, lgz, fz)             # [64,128]
+    w0 = rows_ref[2 * t]
+    w1 = rows_ref[2 * t + 1]
+    m = jnp.zeros((24, 128), jnp.float32)
+    for s in (0, 1):
+        ws = rows_ref[2 * t + s]
+        hit = (wp == ws.astype(jnp.float32))
+        if s == 1:
+            hit = jnp.logical_and(hit, w1 != w0)
+        rhs = wyz * hit.astype(jnp.float32)
+        m = m + jax.lax.dot_general(
+            tab_ref[ws], rhs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    p = m * _axis_w(ix24, lgx, fx)
+    for c in range(3):
+        out_ref[c:c + 1, :] = jnp.sum(p[c * 8:(c + 1) * 8], axis=0,
+                                      keepdims=True)
+    out_ref[3:8, :] = jnp.zeros((5, 128), jnp.float32)
+
+
+def _ws_bwd_kernel(scale, shift, rows_ref, x_ref, g_ref, dtab_ref):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        dtab_ref[...] = jnp.zeros_like(dtab_ref)
+
+    (lgx, fx), (lgy, fy), (lgz, fz) = _ws_geom(x_ref, scale, shift)
+    wp = x_ref[3:4, :]
+
+    j = jax.lax.broadcasted_iota(jnp.int32, (64, 128), 0)
+    iy = (j & 7).astype(jnp.float32)
+    iz = (j >> 3).astype(jnp.float32)
+    r24 = jax.lax.broadcasted_iota(jnp.int32, (24, 128), 0)
+    ix24 = (r24 & 7).astype(jnp.float32)
+
+    wyz = _axis_w(iy, lgy, fy) * _axis_w(iz, lgz, fz)             # [64,128]
+    g24 = jnp.concatenate(
+        [jnp.broadcast_to(g_ref[c:c + 1, :], (8, 128)) for c in range(3)],
+        axis=0)
+    gx24 = g24 * _axis_w(ix24, lgx, fx)                           # [24,128]
+
+    w0 = rows_ref[2 * t]
+    w1 = rows_ref[2 * t + 1]
+    for s in (0, 1):
+        ws = rows_ref[2 * t + s]
+        hit = (wp == ws.astype(jnp.float32))
+        if s == 1:
+            hit = jnp.logical_and(hit, w1 != w0)
+        lhs = gx24 * hit.astype(jnp.float32)
+        dt = jax.lax.dot_general(
+            lhs, wyz, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                   # [24,64]
+        # sequential read-modify-write; correct when w0 == w1 too (masks
+        # are then disjoint by construction)
+        dtab_ref[ws] = dtab_ref[ws] + dt
+
+
+def _ws_level_fwd(x_t, rows, tab_l, spec, l, interpret=False):
+    n_tiles = x_t.shape[0] // 8
+    n_win = tab_l.shape[0]
+    scale = _level_consts(spec, l)[4]
+    shift = 0.0 if spec.align_corners else 0.5
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,                        # rows [n_tiles*2] SMEM
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, TILE), lambda t, r: (t, 0)),
+            pl.BlockSpec((n_win, 24, 64), lambda t, r: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((8, TILE), lambda t, r: (t, 0)),
+    )
+    return pl.pallas_call(
+        partial(_ws_fwd_kernel, scale, shift),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, TILE), jnp.float32),
+        interpret=interpret,
+    )(rows.reshape(-1), x_t, tab_l)
+
+
+def _ws_level_bwd(x_t, rows, g_t, n_win, spec, l, interpret=False):
+    n_tiles = x_t.shape[0] // 8
+    scale = _level_consts(spec, l)[4]
+    shift = 0.0 if spec.align_corners else 0.5
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, TILE), lambda t, r: (t, 0)),
+            pl.BlockSpec((8, TILE), lambda t, r: (t, 0)),
+        ],
+        out_specs=pl.BlockSpec((n_win, 24, 64), lambda t, r: (0, 0, 0)),
+    )
+    return pl.pallas_call(
+        partial(_ws_bwd_kernel, scale, shift),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_win, 24, 64), jnp.float32),
+        interpret=interpret,
+    )(rows.reshape(-1), x_t, g_t)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _inwin_ws(splat, x_ws, rows, spec, levels, interpret):
+    return _inwin_ws_fwd_impl(splat, x_ws, rows, spec, levels, interpret)
+
+
+def _inwin_ws_fwd_impl(splat, x_ws, rows, spec, levels, interpret):
+    woffs = window_offsets(spec)
+    outs = []
+    for i, l in enumerate(levels):
+        tab_l = jax.lax.slice_in_dim(splat, int(woffs[l]), int(woffs[l + 1]))
+        outs.append(_ws_level_fwd(x_ws[i], rows[i], tab_l, spec, l, interpret))
+    return jnp.stack(outs, axis=0)            # [len(levels), n_tiles*8, 128]
+
+
+def _inwin_ws_fwd(splat, x_ws, rows, spec, levels, interpret):
+    out = _inwin_ws_fwd_impl(splat, x_ws, rows, spec, levels, interpret)
+    return out, (x_ws, rows)
+
+
+def _inwin_ws_bwd(spec, levels, interpret, res, g):
+    x_ws, rows = res
+    wc = window_counts(spec)
+    parts = {}
+    for i, l in enumerate(levels):
+        parts[l] = _ws_level_bwd(x_ws[i], rows[i], g[i], int(wc[l]),
+                                 spec, l, interpret)
+    dts = []
+    for l in range(spec.num_levels):
+        if l in parts:
+            dts.append(parts[l])
+        else:
+            dts.append(jnp.zeros((int(wc[l]), 24, 64), jnp.float32))
+    return jnp.concatenate(dts, axis=0), jnp.zeros_like(x_ws), None
+
+
+_inwin_ws.defvjp(_inwin_ws_fwd, _inwin_ws_bwd)
+
+
+def _point_windows(xc, oob, spec, l):
+    """Level-local window id of each point's OWN block; -1 for oob points."""
+    n_win, _, nb, use_hash, scale = _level_consts(spec, l)
+    shift = 0.0 if spec.align_corners else 0.5
+    g = jnp.floor(xc.astype(jnp.float32) * scale + shift)
+    b = (g.astype(jnp.int32) >> 3).astype(jnp.uint32)
+    if use_hash:
+        win = (b[:, 0] * jnp.uint32(_PRIMES[0])
+               ^ b[:, 1] * jnp.uint32(_PRIMES[1])
+               ^ b[:, 2] * jnp.uint32(_PRIMES[2]))
+    else:
+        win = b[:, 0] + b[:, 1] * jnp.uint32(nb) \
+            + b[:, 2] * jnp.uint32(nb * nb)
+    win = (win % jnp.uint32(n_win)).astype(jnp.int32)
+    return jnp.where(oob, jnp.int32(-1), win)
+
+
+# ---------------------------------------------------------------------------
 # custom-vjp in-window op (kernel fwd + kernel bwd); residual is plain JAX
 # ---------------------------------------------------------------------------
 
@@ -491,6 +685,8 @@ def splat_encode_raw(table: jax.Array, x01: jax.Array, spec: HashGridSpec,
                      resid_budget: int = 1 << 17,
                      gather_levels: Tuple[int, ...] = (),
                      stochastic: bool = False,
+                     winsort_levels: Tuple[int, ...] = (),
+                     winsort_budget: Optional[int] = None,
                      interpret: bool = False):
     """Exact hashgrid encode: splat kernels + budgeted residual, with
     per-level routing.
@@ -515,7 +711,11 @@ def splat_encode_raw(table: jax.Array, x01: jax.Array, spec: HashGridSpec,
     assert N % TILE == 0
     L, C = spec.num_levels, spec.level_dim
     T = N // TILE
-    k_levels = tuple(l for l in range(L) if l not in gather_levels)
+    winsort_levels = tuple(l for l in winsort_levels if l in gather_levels)
+    gather_levels = tuple(l for l in gather_levels
+                          if l not in winsort_levels)
+    k_levels = tuple(l for l in range(L)
+                     if l not in gather_levels and l not in winsort_levels)
 
     xc = jnp.clip(x01.astype(jnp.float32), 0.0, 1.0)
     oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)
@@ -583,6 +783,89 @@ def splat_encode_raw(table: jax.Array, x01: jax.Array, spec: HashGridSpec,
         for i, l in enumerate(gl):
             by_level[l] = contrib[:, i]
 
+    if winsort_levels:
+        # --- window-sorted fine levels: per-level sort by own-block window
+        # id -> 128-point tiles touch <=2 windows -> single-block splat
+        # kernel; block-crossing corners + unslotted points ride a budgeted
+        # exact residual (lax.cond full-gather fallback on overflow).
+        wl = list(winsort_levels)
+        Lw = len(wl)
+        shift = 0.0 if spec.align_corners else 0.5
+        corners_f = jnp.asarray(_corner_offsets(3).astype(np.float32))
+        x_ws_l, rows_l, wres_l, perms = [], [], [], []
+        for l in wl:
+            scale_l = _level_consts(spec, l)[4]
+            wp = _point_windows(xc, oob, spec, l)                 # [N]
+            key_l = jnp.where(wp < 0, jnp.int32(0x7FFFFFFF), wp)
+            perm = jnp.argsort(key_l)
+            inv = jnp.zeros((N,), jnp.int32).at[perm].set(
+                jnp.arange(N, dtype=jnp.int32))
+            xs = jnp.take(xc, perm, axis=0)                       # [N,3]
+            wsrt = jnp.take(wp, perm)                             # [N]
+            tw = wsrt.reshape(T, TILE)
+            s0 = jnp.maximum(tw[:, 0], 0)                         # clamped:
+            s1 = jnp.maximum(tw[:, -1], 0)                        # kernel slots
+            rows_l.append(jnp.stack([s0, s1], 1))                 # [T,2]
+            # membership vs the CLAMPED slots (what the kernel matches on),
+            # so clamp-created phantom slots never double-count
+            in_slot_s = (tw == s0[:, None]) | (tw == s1[:, None])
+            in_slot = jnp.take(in_slot_s.reshape(-1), inv)        # [N]
+            xt = jnp.concatenate(
+                [xs.reshape(T, TILE, 3).transpose(0, 2, 1),
+                 tw[:, None, :].astype(jnp.float32)], axis=1)     # [T,4,128]
+            x_ws_l.append(
+                jnp.pad(xt, ((0, 0), (0, 4), (0, 0))).reshape(T * 8, TILE))
+            perms.append((perm, inv))
+            g = jnp.floor(xc.astype(jnp.float32) * scale_l + shift)
+            lg = g - 8.0 * jnp.floor(g * 0.125)                   # [N,3]
+            cross = jnp.any(
+                (lg[:, None, :] == 7.0) & (corners_f[None] == 1.0), axis=-1)
+            rmask = cross | (~in_slot)[:, None]                   # [N,8]
+            wres_l.append(jnp.where(rmask, wa3[:, l], 0.0))
+
+        k_ws = _inwin_ws(to_splat(table, spec), jnp.stack(x_ws_l),
+                         jnp.stack(rows_l), spec, tuple(wl), interpret)
+        kern_ws = []
+        for i, l in enumerate(wl):
+            kf_i = k_ws[i].reshape(T, 8, TILE)[:, :C]
+            kf_i = kf_i.transpose(0, 2, 1).reshape(N, C)
+            perm, inv = perms[i]
+            kern_ws.append(permute(kf_i, inv, perm))
+        kern_ws = jnp.stack(kern_ws, axis=1)                      # [N,Lw,C]
+
+        w_ws = jnp.stack(wres_l, axis=1)                          # [N,Lw,8]
+        ws_count = jnp.sum(w_ws != 0.0, dtype=jnp.int32)
+        # default budget 0.25*corners: uniformly-placed points cross a block
+        # edge on ~18% of corners (PERF.md); overflow falls back exactly
+        Bw = (int(winsort_budget) if winsort_budget is not None
+              else int(min(N * Lw * 8,
+                           -(-int(0.25 * 8 * N * Lw) // TILE) * TILE)))
+        idx_ws = jnp.stack(
+            [idx.reshape(N, L, 8)[:, l] for l in wl], 1)          # [N,Lw,8]
+
+        def ws_fast(table):
+            wv = w_ws.reshape(-1)
+            (ids,) = jnp.nonzero(wv != 0.0, size=Bw, fill_value=0)
+            valid = (jnp.arange(Bw) < ws_count).astype(jnp.float32)
+            w_r = jnp.take(wv, ids) * valid
+            idx_r = jnp.take(idx_ws.reshape(-1), ids)
+            p_r = ids // (Lw * 8)
+            l_r = (ids // 8) % Lw
+            vals = gather_rows(table, idx_r)                      # [Bw,C]
+            return kern_ws.at[p_r, l_r].add(w_r[:, None] * vals)
+
+        def ws_slow(table):
+            # overflow fallback: full exact gather for these levels (the
+            # kernel part is NOT added — this is the complete value)
+            idx_f = idx_ws.reshape(-1)
+            w_f = jnp.stack([wa3[:, l] for l in wl], 1).reshape(-1)
+            vals = gather_rows(table, idx_f)
+            return (w_f[:, None] * vals).reshape(N, Lw, 8, C).sum(2)
+
+        full_ws = jax.lax.cond(ws_count <= Bw, ws_fast, ws_slow, table)
+        for i, l in enumerate(wl):
+            by_level[l] = full_ws[:, i]
+
     if k_levels:
         kmask = jnp.asarray([l in k_levels for l in range(L)])
         k_count = jnp.sum(jnp.where(kmask, resid_counts, 0))
@@ -636,6 +919,7 @@ def splat_encode(table: jax.Array, x01: jax.Array, spec: HashGridSpec,
                  resid_budget: int = 1 << 17, sort: bool = True,
                  gather_levels: Tuple[int, ...] = (),
                  stochastic: bool = False,
+                 winsort_levels: Tuple[int, ...] = (),
                  interpret: bool = False):
     """Drop-in exact replacement for hashgrid_encode on block512 specs.
 
@@ -652,7 +936,8 @@ def splat_encode(table: jax.Array, x01: jax.Array, spec: HashGridSpec,
         perm, inv = morton_perm(xp)
         xp = permute(xp, perm, inv)
     feat, cnt = splat_encode_raw(table, xp, spec, resid_budget,
-                                 gather_levels, stochastic, interpret)
+                                 gather_levels, stochastic, winsort_levels,
+                                 interpret)
     if sort:
         feat = permute(feat, inv, perm)
     return feat[:N0], cnt

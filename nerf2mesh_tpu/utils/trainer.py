@@ -145,7 +145,9 @@ class Trainer:
             l for l in range(gspec.num_levels)
             if gspec.resolutions[l] > 128)
         self.net_spec = dataclasses.replace(
-            self.net_spec, encode_gather_levels=default_gather)
+            self.net_spec, encode_gather_levels=default_gather,
+            encode_winsort_levels=(default_gather if cfg.winsort_fine
+                                   else ()))
         # valid-sample pool: field evaluation costs O(pool) not O(rays*K)
         # (render_train pool_size; ~1.25x the adaptive point target, rounded
         # to tiles; None disables pooling)
@@ -285,9 +287,13 @@ class Trainer:
             cos_anneal_ratio=dyn.cos_anneal_ratio,
             normal_epsilon=dyn.normal_epsilon,
             aabb=jnp.asarray(self._aabb),
-            # under shard_map each shard pools its share of the point budget
+            # under shard_map each shard pools its share of the point budget;
+            # small ray buckets can't fill the pool, so clamp it to the dense
+            # sample count (the field costs O(pool) — no reason to evaluate
+            # more pool rows than there are samples)
             pool_size=(None if self.pool_size is None
-                       else max(128, self.pool_size // self.n_shards)),
+                       else min(max(128, self.pool_size // self.n_shards),
+                                num_rays * rspec.num_fine)),
         )
 
         from .losses import CRITERIA
@@ -444,7 +450,8 @@ class Trainer:
         return jax.jit(step_fn, donate_argnums=(0,))
 
     def step_fn_for(self, num_rays: int):
-        key = (num_rays, self.net_spec.encode_gather_levels)
+        key = (num_rays, self.net_spec.encode_gather_levels,
+               self.net_spec.encode_winsort_levels)
         if key not in self._step_cache:
             self._step_cache[key] = self._build_step(num_rays)
         return self._step_cache[key]
@@ -495,10 +502,14 @@ class Trainer:
             elif l not in cur and r > 0.35:
                 new.add(l)
         if new != cur:
+            gl = tuple(sorted(new))
             self.net_spec = dataclasses.replace(
-                self.net_spec, encode_gather_levels=tuple(sorted(new)))
+                self.net_spec, encode_gather_levels=gl,
+                encode_winsort_levels=(gl if self.cfg.winsort_fine else ()))
             self.log(f"[INFO] encode routing -> gather levels "
-                     f"{sorted(new)} (resid rates "
+                     f"{sorted(new)}"
+                     f"{' (winsort)' if self.cfg.winsort_fine else ''}"
+                     f" (resid rates "
                      f"{[round(float(r), 2) for r in rates]})")
 
     def _bucket(self, n: int, lo: int = 1024, hi: int = 32768) -> int:

@@ -277,3 +277,64 @@ def test_splat_stochastic_unbiased_and_bounded():
         lo, hi = spec.offsets[l], spec.offsets[l + 1]
         np.testing.assert_allclose(d[lo:hi].sum(), N * spec.level_dim,
                                    rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# window-sorted fine-level path
+# ---------------------------------------------------------------------------
+
+def test_winsort_forward_exact():
+    """Winsort kernel + crossing residual == hashgrid_encode, for RANDOM
+    (no spatial locality) points — the fine-level regime it exists for."""
+    spec = small_spec()
+    table = init_hashgrid(jax.random.PRNGKey(0), spec)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (4 * se.TILE, 3))
+    wl = (3, 4, 5)
+    feat, _ = se.splat_encode_raw(table, pts, spec, resid_budget=1 << 15,
+                                  gather_levels=wl, winsort_levels=wl,
+                                  interpret=True)
+    want = hashgrid_encode(table, pts, spec)
+    np.testing.assert_allclose(np.asarray(feat), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_winsort_oob_and_grads():
+    spec = small_spec()
+    table = init_hashgrid(jax.random.PRNGKey(0), spec)
+    pts = np.array(jax.random.uniform(jax.random.PRNGKey(2),
+                                      (2 * se.TILE, 3)))
+    pts[5] = [1.3, 0.5, 0.5]
+    pts[190] = [0.5, -0.2, 0.5]
+    pts = jnp.asarray(pts)
+    wl = (4, 5)
+    g = jax.random.normal(jax.random.PRNGKey(3),
+                          (pts.shape[0], spec.output_dim))
+
+    def loss_ws(t):
+        f, _ = se.splat_encode_raw(t, pts, spec, resid_budget=1 << 15,
+                                   gather_levels=wl, winsort_levels=wl,
+                                   interpret=True)
+        return jnp.sum(f * g), f
+
+    (l_ws, f_ws), d_ws = jax.value_and_grad(loss_ws, has_aux=True)(table)
+    assert np.all(np.asarray(f_ws[5]) == 0)
+    assert np.all(np.asarray(f_ws[190]) == 0)
+    d_ref = jax.grad(lambda t: jnp.sum(hashgrid_encode(t, pts, spec) * g))(
+        table)
+    np.testing.assert_allclose(np.asarray(d_ws), np.asarray(d_ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_winsort_residual_overflow_falls_back_exactly():
+    """ws_count > budget -> lax.cond full-gather branch, still exact."""
+    spec = small_spec()
+    table = init_hashgrid(jax.random.PRNGKey(0), spec)
+    pts = jax.random.uniform(jax.random.PRNGKey(4), (2 * se.TILE, 3))
+    wl = tuple(range(spec.num_levels))      # every level winsort: huge resid
+
+    feat, _ = se.splat_encode_raw(table, pts, spec, resid_budget=1,
+                                  gather_levels=wl, winsort_levels=wl,
+                                  winsort_budget=128, interpret=True)
+    want = hashgrid_encode(table, pts, spec)
+    np.testing.assert_allclose(np.asarray(feat), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)

@@ -183,22 +183,57 @@ def write_mlp_json(specular_net, bound: float, cascades: int,
 
 
 def mark_unseen_triangles(verts: np.ndarray, tris: np.ndarray,
-                          mvps: np.ndarray, H: int, W: int) -> np.ndarray:
+                          mvps: np.ndarray, H: int, W: int,
+                          frag_px: int = 8) -> np.ndarray:
     """Faces never rasterized by any camera (renderer.py:946-981).
 
-    Uses the JAX rasterizer's triangle-id buffer per view.
+    Uses the JAX rasterizer's triangle-id buffer per view.  Faces whose
+    projected bbox exceeds the rasterizer's fragment block (frag_px) in any
+    view are midpoint-subdivided first (child->parent mapped back): the
+    fragment grid STRIDES over bigger bboxes and the skipped pixels would
+    let occluded interior faces win — the round-2 capstone measured 35% of
+    the exported mesh being interior junk kept alive by exactly those
+    spurious "seen" seeds + selection dilation.
     Returns bool [M] mask, True = unseen.
     """
     from ..models.rasterizer import rasterize_trig_id
+    from .meshops import midpoint_subdivide
+
+    v = np.asarray(verts, np.float32)
+    f = np.asarray(tris, np.int64)
+    parent = np.arange(len(f))
+    mvps = np.asarray(mvps, np.float32)
+
+    def face_bbox_px(v, f):
+        big = np.zeros(len(f), np.float32)
+        vh = np.concatenate([v, np.ones_like(v[:, :1])], axis=1)
+        for mvp in mvps:
+            clip = vh @ mvp.T
+            w = clip[:, 3]
+            ok = w > 1e-6
+            sx = np.where(ok, (clip[:, 0] / np.where(ok, w, 1)) * 0.5 * W, 0)
+            sy = np.where(ok, (clip[:, 1] / np.where(ok, w, 1)) * 0.5 * H, 0)
+            fx = sx[f]; fy = sy[f]
+            ext = np.maximum(fx.max(1) - fx.min(1), fy.max(1) - fy.min(1))
+            ext = np.where(ok[f].all(1), ext, 0.0)
+            big = np.maximum(big, ext)
+        return big
+
+    for _ in range(6):
+        split = face_bbox_px(v, f) > frag_px
+        if not split.any():
+            break
+        v, f, par2 = midpoint_subdivide(v, f, split, return_parents=True)
+        parent = parent[par2]
 
     seen = np.zeros(len(tris), bool)
-    v = jnp.asarray(verts)
-    t = jnp.asarray(tris)
+    vj = jnp.asarray(v)
+    tj = jnp.asarray(f)
     for mvp in mvps:
-        tid = np.asarray(rasterize_trig_id(v, t, jnp.asarray(mvp), H, W))
+        tid = np.asarray(rasterize_trig_id(vj, tj, jnp.asarray(mvp), H, W))
         ids = np.unique(tid)
         ids = ids[ids >= 0]
-        seen[ids] = True
+        seen[parent[ids]] = True
     return ~seen
 
 
@@ -218,12 +253,21 @@ def export_stage0_mesh(trainer, out_dir: str, resolution: int = 512,
 
     if not cfg.sdf:
         # mask out untrained/unoccupied regions using the density grid
-        # (renderer.py:505-513)
+        # (renderer.py:505-513).  Dilate the keep-mask by one grid cell:
+        # slab-rotated updates sample boundary cells less often than the
+        # reference's full refresh, and an unoccupied cell that the true
+        # surface crosses would punch a HOLE in the marched mesh (measured:
+        # holes let occluded interior junk become "visible" and survive the
+        # visibility cull)
         grid = np.asarray(state.render.density_grid[0])
+        keep = grid > density_thresh
+        d = keep.copy()
+        for ax in (0, 1, 2):
+            d |= np.roll(keep, 1, ax) | np.roll(keep, -1, ax)
         reps = int(np.ceil(resolution / grid.shape[0]))
         mask = np.repeat(np.repeat(np.repeat(
-            grid, reps, 0), reps, 1), reps, 2)[:resolution, :resolution, :resolution]
-        sigmas = sigmas * (mask > density_thresh)
+            d, reps, 0), reps, 1), reps, 2)[:resolution, :resolution, :resolution]
+        sigmas = sigmas * mask
         verts, tris = marching_cubes(sigmas, density_thresh)
     else:
         verts, tris = marching_cubes(-sigmas, 0.0)

@@ -144,7 +144,10 @@ def rasterize_crop(
     x1, x2, x3 = ktx[:, 0, None, None], ktx[:, 1, None, None], ktx[:, 2, None, None]
     y1, y2, y3 = kty[:, 0, None, None], kty[:, 1, None, None], kty[:, 2, None, None]
     det = (x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)           # [K,1,1]
-    det_safe = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    # sign-preserving clamp: a tiny NEGATIVE det must not flip every
+    # barycentric's sign (the old where() clamped to +1e-12)
+    det_safe = jnp.where(det < 0, -1.0, 1.0) * jnp.maximum(
+        jnp.abs(det), 1e-12)
     l1 = ((x2 - cx) * (y3 - cy) - (x3 - cx) * (y2 - cy)) / det_safe
     l2 = ((x3 - cx) * (y1 - cy) - (x1 - cx) * (y3 - cy)) / det_safe
     l3 = 1.0 - l1 - l2                                            # [K, B, B]
@@ -162,6 +165,26 @@ def rasterize_crop(
     d3 = edge_dist(l3, x1, y1, x2, y2)
     sdist = jnp.minimum(jnp.minimum(d1, d2), d3)                   # >0 inside
     alpha = jax.nn.sigmoid(sdist * (4.0 / spec.soft_px))           # [K, B, B]
+
+    # Edge-on faces (silhouettes, occlusion boundaries) project to
+    # near-DEGENERATE slivers: sdist ~ 0 along their entire projected
+    # segment, so without care they paint half-opaque streaks ("hairs")
+    # outside silhouettes and win depth with extrapolated barycentrics
+    # (speckle).  True coverage of a degenerate projection is ~0: fade
+    # alpha by the projected inradius (A/s = |det|/perimeter).
+    perim = (jnp.sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2 + 1e-12)
+             + jnp.sqrt((x3 - x2) ** 2 + (y3 - y2) ** 2 + 1e-12)
+             + jnp.sqrt((x1 - x3) ** 2 + (y1 - y3) ** 2 + 1e-12))
+    r_in = jnp.abs(det) / jnp.maximum(perim, 1e-12)                # [K,1,1] px
+    sliver_fade = jnp.clip(r_in / (0.25 * spec.soft_px), 0.0, 1.0)
+    alpha = alpha * sliver_fade
+    degen = jax.lax.stop_gradient(r_in) < 0.02                     # [K,1,1]
+
+    # exact half-plane inside test (stable for slivers, where the
+    # edge-distance form can report sdist ~ +0 along the degenerate line)
+    strict_in = (jax.lax.stop_gradient(l1) >= 0.0) \
+        & (jax.lax.stop_gradient(l2) >= 0.0) \
+        & (jax.lax.stop_gradient(l3) >= 0.0)
 
     inside = sdist > -0.5                                          # rasterize near-edge too
     in_crop = (px[:, None, :] >= 0) & (px[:, None, :] < Cp) & \
@@ -189,13 +212,17 @@ def rasterize_crop(
     depth_det = jax.lax.stop_gradient(depth).reshape(-1)
     depth_det = jnp.where(live.reshape(-1), depth_det, jnp.inf)
 
-    # depth-winner selection prefers STRICTLY-INSIDE fragments: near-edge
-    # outside fragments (sdist in (-0.5, 0]) carry extrapolated barycentrics
-    # and would query the field off-surface on dense meshes — they may only
+    # depth-winner selection prefers STRICTLY-INSIDE fragments (exact
+    # half-plane tests): near-edge outside fragments carry extrapolated
+    # barycentrics and would query the field off-surface — they may only
     # win pixels no inside fragment covers (silhouette rims).  ndc z spans
-    # ~[-1,1], so +4 pushes all outside fragments behind every inside one.
-    outside = jax.lax.stop_gradient(sdist).reshape(-1) <= 0.0
-    depth_key = jnp.where(outside, depth_det + 4.0, depth_det)
+    # ~[-1,1], so +4 pushes all outside fragments behind every inside one;
+    # degenerate projections (+8) only ever win as a last resort, and their
+    # alpha is faded to ~0 anyway.
+    outside = ~jnp.broadcast_to(strict_in, (K, B, B)).reshape(-1)
+    degen_f = jnp.broadcast_to(degen, (K, B, B)).reshape(-1)
+    depth_key = depth_det + jnp.where(outside, 4.0, 0.0) \
+        + jnp.where(degen_f, 8.0, 0.0)
     depth_key = jnp.where(live.reshape(-1), depth_key, jnp.inf)
 
     # --- live-fragment compaction.  Only a small fraction of the dense
@@ -251,7 +278,8 @@ def rasterize_crop(
     # P-row scatter-maxes.
     packed = jnp.stack(
         [alpha.reshape(-1),
-         (sdist.reshape(-1) > -1e-3).astype(f32)], axis=-1)      # [NF, 2]
+         (jnp.broadcast_to(strict_in & ~degen, (K, B, B))
+          .reshape(-1)).astype(f32)], axis=-1)                   # [NF, 2]
     pc = jnp.take(packed, lid, axis=0) * valid_f[:, None].astype(f32)
     alpha_img = jnp.zeros((NP,), f32).at[pixc].max(pc[:, 0])[:-1]
     covered_strict = jnp.zeros((NP,), f32).at[pixc].max(

@@ -302,6 +302,7 @@ def render_eval_segment(
     *,
     shading: str = "full",
     ind_code: Optional[jax.Array] = None,
+    pool_size: Optional[int] = None,
 ) -> Dict[str, jax.Array]:
     """One segment of the early-exit eval march (the TPU answer to the
     reference's alive-ray inference loop, renderer.py:749-802 /
@@ -313,6 +314,10 @@ def render_eval_segment(
     (multiplicative transmittance) and drops finished rays between calls —
     host-side compaction replaces the CUDA kernel's in-place alive lists.
     No background compositing here; the caller owns it.
+
+    pool_size: like render_train's — compact valid samples before the field
+    evaluation; a lax.cond falls back to the dense path when the pool would
+    overflow, so the output is always exact.
     """
     N = rays_o.shape[0]
     K = spec.num_fine
@@ -333,16 +338,51 @@ def render_eval_segment(
         ind_flat = ind_code
 
     full_flag = jnp.asarray(shading != "diffuse")
-    sigmas, rgbs, _, _ = field_forward(
-        params, pts, dirs_flat, net_spec, full_flag, ind_flat, None)
 
-    if spec.sdf:
-        inv_s = jnp.clip(jnp.exp(params["variance"] * 10.0), 1e-6, 1e6)
-        normal = safe_normalize(
-            finite_diff_normal(params, pts, net_spec, 1e-4, None))
-        sigmas = neus_alpha_from_sdf(sigmas, normal, dirs_flat,
-                                     m.dts.reshape(-1), inv_s,
-                                     jnp.asarray(1.0))
+    def field_on(xs, ds_, inds):
+        sig, rgb, _, _ = field_forward(
+            params, xs, ds_, net_spec, full_flag, inds, None)
+        if spec.sdf:
+            inv_s = jnp.clip(jnp.exp(params["variance"] * 10.0), 1e-6, 1e6)
+            normal = safe_normalize(
+                finite_diff_normal(params, xs, net_spec, 1e-4, None))
+            dtf = m.dts.reshape(-1) if xs.shape[0] == N * K else None
+            # pooled sdf path gathers dts below; dense uses the flat dts
+            sig = neus_alpha_from_sdf(
+                sig, normal, ds_,
+                dtf if dtf is not None else jnp.ones_like(sig) * 0.0,
+                inv_s, jnp.asarray(1.0))
+        return sig, rgb
+
+    if pool_size is not None and int(pool_size) < N * K and not spec.sdf:
+        P = int(pool_size)
+        flat_valid = m.valid.reshape(-1)
+        total = m.total
+
+        def pooled(_):
+            (ids,) = jnp.nonzero(flat_valid, size=P, fill_value=N * K)
+            in_pool = jnp.arange(P) < total
+            ids_c = jnp.minimum(ids, N * K - 1)
+            sentinel = 3.0 * spec.bound
+            x_pool = jnp.where(in_pool[:, None],
+                               jnp.take(pts, ids_c, axis=0), sentinel)
+            d_pool = jnp.take(dirs, ids_c // K, axis=0)
+            i_pool = (jnp.take(ind_flat, ids_c, axis=0)
+                      if (ind_flat is not None and ind_flat.ndim == 2
+                          and ind_flat.shape[0] == N * K) else ind_flat)
+            sig_p, rgb_p = field_on(x_pool, d_pool, i_pool)
+            sig_p = jnp.where(in_pool, sig_p, 0.0)
+            rgb_p = jnp.where(in_pool[:, None], rgb_p, 0.0)
+            sig = jnp.zeros((N * K,)).at[ids].set(sig_p, mode="drop")
+            rgb = jnp.zeros((N * K, 3)).at[ids].set(rgb_p, mode="drop")
+            return sig, rgb
+
+        def dense(_):
+            return field_on(pts, dirs_flat, ind_flat)
+
+        sigmas, rgbs = jax.lax.cond(total <= P, pooled, dense, None)
+    else:
+        sigmas, rgbs = field_on(pts, dirs_flat, ind_flat)
 
     out = composite_rays(
         sigmas.reshape(N, K), rgbs.reshape(N, K, 3), m.ts, m.dts, m.valid,

@@ -687,9 +687,10 @@ class Trainer:
     # ------------------------------------------------------------- eval/test
     def render_image(self, pose: np.ndarray, intrinsics: np.ndarray,
                      H: int, W: int, use_ema: bool = True,
-                     chunk: int = 2048, shading: str = "full",
+                     chunk: int = 8192, shading: str = "full",
                      bg_color: float = 1.0,
-                     seg_samples: int = 32) -> Dict[str, np.ndarray]:
+                     seg_samples: int = 32,
+                     stochastic: bool = False) -> Dict[str, np.ndarray]:
         """Full-frame render: early-exit segmented march (eval path).
 
         The reference's alive-ray compaction loop (renderer.py:749-802)
@@ -698,9 +699,24 @@ class Trainer:
         (T below threshold or march exhausted) are compacted away on the
         host.  Opaque rays terminate after 1-2 rounds, and deep scenes can
         consume up to max_steps samples instead of a fixed per-ray cap.
+
+        Dispatch economics (PERF.md): every device->host fetch through the
+        axon relay costs up to ~1 s of latency, so the loop batches ALL
+        alive rays per round (pow2 buckets, async dispatch) and fetches ONE
+        packed [n, 6] array per round — the per-chunk-sync version spent
+        5.5 s per 256^2 frame mostly waiting on ~60 fetches.  Valid samples
+        are pool-compacted before the field evaluation (exact; lax.cond
+        dense fallback on overflow).
+
+        stochastic=True uses the 1-corner encoder estimate on fine levels
+        (the train-time estimator) for latency-critical interactive preview
+        (the viewer); metric evals keep it off.
         """
         params = self.state.ema_params if use_ema else self.state.params
-        rspec, nspec = self.render_spec, self.net_spec
+        rspec = self.render_spec
+        nspec = self.net_spec
+        if stochastic:
+            nspec = dataclasses.replace(nspec, encode_stochastic=True)
 
         fx, fy, cx, cy = np.asarray(intrinsics)
         rays = get_rays(jnp.asarray(pose[None]), (fx, fy, cx, cy), H, W)
@@ -715,9 +731,11 @@ class Trainer:
             density_thresh=rspec.density_thresh, max_steps=rspec.max_steps,
             num_coarse=rspec.num_coarse, num_fine=seg_samples,
             dt_gamma=rspec.dt_gamma, sdf=rspec.sdf)
+        pool = None if rspec.sdf else (-(-int(0.75 * chunk * seg_samples)
+                                         // 128) * 128)
 
         # rspec in the key: the viewer mutates render options live
-        cache_key = (chunk, shading, seg_samples, rspec)
+        cache_key = (chunk, shading, seg_samples, stochastic, rspec)
         if getattr(self, "_eval_key", None) != cache_key:
             from ..models.renderer import render_eval_segment
             from ..ops.sampling import near_far_from_aabb, occupied_length
@@ -730,12 +748,16 @@ class Trainer:
                     cascades=rspec.cascades, bound=rspec.bound,
                     contracted=rspec.contract, dt_gamma=rspec.dt_gamma,
                     max_steps=rspec.max_steps)
-                return nears, fars, olen
+                return jnp.stack([nears, fars, olen], axis=-1)    # [b, 3]
 
             def _seg(params, occ, ro, rd, nears, fars, sdt):
-                return render_eval_segment(
+                o = render_eval_segment(
                     params, occ, ro, rd, nears, fars, sdt, seg_spec, nspec,
-                    shading=shading)
+                    shading=shading, pool_size=pool)
+                return jnp.concatenate(
+                    [o["image"], o["depth"][:, None],
+                     o["weights_sum"][:, None], o["t_exit"][:, None]],
+                    axis=-1)                                      # [b, 6]
 
             self._eval_prep = jax.jit(_prep)
             self._eval_seg = jax.jit(_seg)
@@ -745,31 +767,37 @@ class Trainer:
         aabb = jnp.asarray(self._aabb)
         dt_min = 2.0 * np.sqrt(3.0) / rspec.max_steps
 
-        def chunked(fn, arrays, m):
-            """Apply fn over m rows in fixed `chunk`-row buckets (padded)."""
+        def batched(fn, arrays, m):
+            """fn over m rows: pow2-bucket sub-batches dispatched async,
+            ONE packed device fetch for the whole call."""
             outs = []
-            for head in range(0, m, chunk):
-                tail = min(head + chunk, m)
+            head = 0
+            while head < m:
+                b = 1024
+                while b < (m - head) and b < chunk:
+                    b *= 2
+                tail = min(head + b, m)
                 padded = []
                 for a in arrays:
-                    buf = np.zeros((chunk,) + a.shape[1:], a.dtype)
+                    buf = np.zeros((b,) + a.shape[1:], a.dtype)
                     buf[: tail - head] = a[head:tail]
-                    # keep padded ray dirs non-degenerate
-                    if a.ndim == 2 and tail - head < chunk:
-                        buf[tail - head:, -1] = 1.0
+                    if a.ndim == 2 and tail - head < b:
+                        buf[tail - head:, -1] = 1.0   # non-degenerate dirs
                     padded.append(jnp.asarray(buf))
-                outs.append([np.asarray(o)[: tail - head] for o in fn(*padded)])
-            return [np.concatenate(parts) for parts in zip(*outs)]
+                outs.append(fn(*padded)[: tail - head])
+                head = tail
+            packed = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+            return np.asarray(packed)                 # single device fetch
 
-        nears, fars, olen = chunked(
-            lambda ro, rd: self._eval_prep(occ, ro, rd, aabb),
-            [rays_o, rays_d], n)
+        prep = batched(lambda ro, rd: self._eval_prep(occ, ro, rd, aabb),
+                       [rays_o, rays_d], n)
+        nears, fars, olen = prep[:, 0].copy(), prep[:, 1], prep[:, 2]
         spacing = np.maximum(olen / eval_fine, dt_min).astype(np.float32)
 
         image = np.zeros((n, 3), np.float32)
         depth = np.zeros(n, np.float32)
         T = np.ones(n, np.float32)
-        tcur = nears.copy()
+        tcur = nears
         alive = olen > 0
 
         max_rounds = max(8, 2 * rspec.max_steps // max(seg_samples, 1))
@@ -777,15 +805,13 @@ class Trainer:
             idx = np.nonzero(alive)[0]
             if idx.size == 0:
                 break
-
-            def run_seg(ro, rd, nr, fr, sd):
-                o = self._eval_seg(params, occ, ro, rd, nr, fr, sd)
-                return o["image"], o["depth"], o["weights_sum"], o["t_exit"]
-
-            si, sd_, sw, st = chunked(
-                run_seg,
-                [rays_o[idx], rays_d[idx], tcur[idx], fars[idx], spacing[idx]],
+            seg = batched(
+                lambda ro, rd, nr, fr, sd: self._eval_seg(
+                    params, occ, ro, rd, nr, fr, sd),
+                [rays_o[idx], rays_d[idx], tcur[idx], fars[idx],
+                 spacing[idx]],
                 idx.size)
+            si, sd_, sw, st = seg[:, :3], seg[:, 3], seg[:, 4], seg[:, 5]
             image[idx] += T[idx, None] * si
             depth[idx] += T[idx] * sd_
             T[idx] *= 1.0 - sw

@@ -148,7 +148,11 @@ class ViewerServer:
                 mvp = make_mvps(proj, pose[None])[0]
                 out = self.trainer.render_image_stage1(pose, mvp, intr, H, W)
             else:
-                out = self.trainer.render_image(pose, intr, H, W)
+                # interactive preview: 1-corner fine-level encoder estimate
+                # (8x less random-row traffic; unbiased); metric evals and
+                # exports keep the exact path
+                out = self.trainer.render_image(pose, intr, H, W,
+                                                stochastic=True)
         dt_ms = (time.time() - t0) * 1000
         # dynamic resolution against the frame budget (gui.py:158-163).
         # The first frame at a new (stage, H, W) pays jit compilation —

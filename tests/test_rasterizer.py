@@ -225,3 +225,34 @@ def test_subdivision_budget_and_camera_depth():
     pose[:, 2, 3] = [2.5, 4.0, 3.0]
     z = camera_min_depth(pose, np.array([-1., -1, -1]), np.array([1., 1, 1]))
     assert abs(z - (2.5 - 1.0) * 0.7) < 1e-6
+
+
+def test_degenerate_sliver_no_streaks():
+    """An edge-on (near-zero projected area) sliver must not paint soft
+    alpha along its projected segment nor win the depth resolve over a real
+    triangle behind it (the round-2 capstone 'hairs'/speckle root cause)."""
+    # sliver: three nearly-collinear points spanning the crop diagonal
+    verts = ortho_clip([
+        [-0.9, -0.9, 0.2], [0.9, 0.9, 0.2], [0.0, 0.0015, 0.2],  # sliver (front)
+        [-1, -1, 0.8], [1, -1, 0.8], [-1, 1, 0.8],               # real tri (behind)
+    ])
+    tris = jnp.asarray([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    r = rasterize_crop(verts, tris, jnp.asarray([0, 0]), H, W, SPEC)
+    tid = np.asarray(r["tri_id"])
+    a = np.asarray(r["alpha"])
+    # inside the real triangle's area the real triangle must win everywhere
+    assert tid[10, 10] == 1
+    assert tid[20, 18] == 1
+    # outside the real triangle, along the sliver's segment, alpha ~ 0
+    # (old behavior: ~0.5 'hair' streaks)
+    assert a[50, 52] < 0.05
+    assert a[60, 61] < 0.05
+
+
+def test_sliver_fade_keeps_normal_triangles():
+    """The inradius alpha fade must not dim ordinary triangles."""
+    verts = ortho_clip([[-1, -1, 0.5], [1, -1, 0.5], [-1, 1, 0.5]])
+    tris = jnp.asarray([[0, 1, 2]], jnp.int32)
+    r = rasterize_crop(verts, tris, jnp.asarray([0, 0]), H, W, SPEC)
+    a = np.asarray(r["alpha"])
+    assert a[10, 10] > 0.95

@@ -59,6 +59,10 @@ class Config:
     iters: int = 30000
     lr: float = 1e-2
     lr_vert: float = 1e-4
+    # stage-1 training crop side (pixels); 0 = full frame up to 256.
+    # The reference renders full frames per stage-1 step; crops trade
+    # per-step cost against vertex-gradient coverage
+    s1_crop: int = 0
     pos_gradient_boost: float = 1.0
     max_steps: int = 1024
     update_extra_interval: int = 16

@@ -902,7 +902,13 @@ class Trainer:
         # enforces a hard face budget within the raster compaction budget K
         # (round-1 failure: z=1 assumption at z~2.5 scenes -> 42x faces ->
         # 97% of triangles silently dropped).
-        self._s1_crop = int(min(128, dataset.H, dataset.W))
+        # Crop size governs per-step vertex-gradient coverage: the reference
+        # renders FULL frames every stage-1 step (renderer.py:816-921), and
+        # its 30k-iter default gives each vertex ~30k photometric updates —
+        # small crops cut that by (H*W)/crop^2.  Default matches the full
+        # frame up to 256^2; cfg.s1_crop overrides.
+        want = self.cfg.s1_crop if self.cfg.s1_crop > 0 else 256
+        self._s1_crop = int(min(want, dataset.H, dataset.W))
         fl = float(dataset.intrinsics_for(0)[0])
         # ssaa multiplies the effective focal length at raster resolution
         max_edge = self._raster_spec().frag * 0.8 / (

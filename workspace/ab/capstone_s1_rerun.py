@@ -24,6 +24,16 @@ ds = load_nerf_dataset(cfg, "train")
 tr.save_mesh(resolution=256, decimate_target=100000, dataset=ds)
 print("REEXPORT DONE %.0fs" % (time.time() - t0), flush=True)
 
+# a FRESH stage-1 run: drop the previous run's stage-1 checkpoints (else
+# --ckpt latest resumes the pre-fix training state) and the refined mesh
+# (stage-1 prefers mesh_{cas}_updated.ply over the new export)
+import glob
+import os
+for p in (glob.glob("/tmp/ws_full/checkpoints/ngp_stage1_*")
+          + glob.glob("/tmp/ws_full/mesh_stage0/*_updated.ply")):
+    os.remove(p)
+    print("removed", p, flush=True)
+
 main(["/tmp/bench_scene", "--workspace", "/tmp/ws_full",
       "--stage", "1", "--bound", "1", "--scale", "0.8", "--dt_gamma", "0",
       "--iters", "1000", "--refine", "--texture_size", "1024", "--ssaa", "1",

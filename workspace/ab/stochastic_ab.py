@@ -23,7 +23,7 @@ extra = ["--stochastic_fine"] if arm == "B" else []
 t0 = time.time()
 main([root, "--workspace", ws,
       "--bound", "1", "--scale", "0.8", "--dt_gamma", "0",
-      "--iters", "4000", "--num_rays", "4096", "--num_points", "262144",
+      "--iters", "2000", "--num_rays", "4096", "--num_points", "262144",
       "--grid_size", "128", "--diffuse_step", "1000",
       "--random_image_batch", "--mark_untrained", "--adaptive_num_rays",
       "--mesh_visibility_culling",

@@ -315,19 +315,37 @@ def interpolate(attrs: jax.Array, rast: Dict[str, jax.Array],
 
 
 def rasterize_trig_id(verts: jax.Array, tris: jax.Array, mvp: jax.Array,
-                      H: int, W: int, crop: int = 256) -> jax.Array:
+                      H: int, W: int, crop: int = 256,
+                      face_chunk: int = 1 << 18) -> jax.Array:
     """Full-frame triangle-id buffer by looping crops (visibility culling,
-    renderer.py:946-981). Host loop; returns [H, W] int32, -1 empty."""
+    renderer.py:946-981). Host loop; returns [H, W] int32, -1 empty.
+
+    Meshes bigger than `face_chunk` are rasterized in face chunks with a
+    host-side z-merge (winner = global min depth across chunks) — sizing
+    the compaction budget to the full face count OOMs HBM past ~2^19 faces
+    (the dense [K, 8, 8] fragment tensors scale with K)."""
     clip = transform_clip(verts, mvp)
-    spec = RasterSpec(crop=crop,
-                      max_tris=1 << int(np.ceil(np.log2(max(tris.shape[0], 2)))))
+    F = int(tris.shape[0])
+    K = 1 << int(np.ceil(np.log2(max(min(F, face_chunk), 2))))
+    spec = RasterSpec(crop=crop, max_tris=K)
     out = np.full((H, W), -1, np.int32)
-    for y0 in range(0, H, crop):
-        for x0 in range(0, W, crop):
-            r = rasterize_crop(clip, tris, jnp.asarray([y0, x0]), H, W, spec)
-            tile = np.asarray(r["tri_id"])
-            h = min(crop, H - y0); wdt = min(crop, W - x0)
-            out[y0:y0 + h, x0:x0 + wdt] = tile[:h, :wdt]
+    best = np.full((H, W), np.inf, np.float32)
+    for f0 in range(0, F, face_chunk):
+        sub = jax.lax.slice_in_dim(tris, f0, min(f0 + face_chunk, F))
+        for y0 in range(0, H, crop):
+            for x0 in range(0, W, crop):
+                r = rasterize_crop(clip, sub, jnp.asarray([y0, x0]), H, W,
+                                   spec)
+                tile = np.asarray(r["tri_id"])
+                d = np.asarray(r["depth"])
+                cov = tile >= 0
+                d = np.where(cov, d, np.inf)
+                h = min(crop, H - y0); wdt = min(crop, W - x0)
+                win = d[:h, :wdt] < best[y0:y0 + h, x0:x0 + wdt]
+                sel = win & cov[:h, :wdt]
+                region = out[y0:y0 + h, x0:x0 + wdt]
+                region[sel] = tile[:h, :wdt][sel] + f0
+                best[y0:y0 + h, x0:x0 + wdt][win] = d[:h, :wdt][win]
     return out
 
 

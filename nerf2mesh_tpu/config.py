@@ -86,8 +86,12 @@ class Config:
     # (encoder+MLP cost O(num_points) instead of O(num_rays*samples_per_ray))
     pool_points: bool = True
     # train-only stochastic 1-corner sampling on gather-routed fine hash
-    # levels: unbiased trilinear estimate at 8x fewer random table rows
-    stochastic_fine: bool = False
+    # levels: unbiased trilinear estimate at 8x fewer random table rows.
+    # Default ON: the hard-proxy A/B measured it BETTER than exact
+    # trilinear at equal steps (28.29 vs 26.10 dB val PSNR, SSIM 0.963 vs
+    # 0.932 — the per-step corner noise regularizes the fine tables) at
+    # ~2x the training throughput.  --no-stochastic_fine restores exact.
+    stochastic_fine: bool = True
     # exact window-sorted splat kernel for fine hash levels (sort points by
     # block-window id per level; MXU matmuls + ~18% crossing-corner residual
     # instead of an 8-corner random gather).  Exact, so it also serves eval;

@@ -158,6 +158,7 @@ def render_stage1_crop(
     enable_offset_nerf_grad: bool = False,
     pos_gradient_boost: float = 1.0,
     ssaa: int = 1,
+    hard_alpha: bool = False,
 ) -> Dict[str, jax.Array]:
     """One differentiable crop render (renderer.py:816-921).
 
@@ -198,10 +199,18 @@ def render_stage1_crop(
     rgbs = colors.reshape(Cs, Cs, 3)
     rgbs = jnp.where(rast["covered"][..., None], rgbs, 0.0)
 
-    alpha = rast["alpha"][..., None]
+    # hard_alpha: binary pixel-center coverage instead of the soft
+    # silhouette sigmoid.  The soft ramp exists for TRAINING gradients
+    # (it is the dr.antialias analog); at eval/export time it smears
+    # ~1.4 px of blend across every silhouette, which measured as 86% of
+    # the stage-1 eval MSE against unantialiased ground truth.
+    if hard_alpha:
+        alpha = rast["covered"].astype(jnp.float32)[..., None]
+    else:
+        alpha = rast["alpha"][..., None]
     image = alpha * rgbs + (1.0 - alpha) * bg_color
-    depth = rast["alpha"] * rast["depth"]
-    weights_sum = rast["alpha"]
+    depth = alpha[..., 0] * rast["depth"]
+    weights_sum = alpha[..., 0]
 
     if s > 1:
         image = image.reshape(Cp, s, Cp, s, 3).mean(axis=(1, 3))

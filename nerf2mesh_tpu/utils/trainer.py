@@ -1174,7 +1174,8 @@ class Trainer:
                 return render_stage1_crop(
                     params, params["vertices_offsets"], mesh_v, mesh_f,
                     mvp, origin, dirs, bg, nspec, rspec, H, W,
-                    shading="full", contracted=self.cfg.contract)
+                    shading="full", contracted=self.cfg.contract,
+                    hard_alpha=self.cfg.s1_hard_alpha_eval)
             self._s1_eval_fn = _eval
             self._s1_eval_key = cache_key
 

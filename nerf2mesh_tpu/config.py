@@ -63,11 +63,12 @@ class Config:
     # The reference renders full frames per stage-1 step; crops trade
     # per-step cost against vertex-gradient coverage
     s1_crop: int = 0
-    # stage-1 EVAL renders with hard pixel-center coverage instead of the
-    # soft training sigmoid.  Measured WORSE on the capstone (21.9 vs 26.6
-    # dB): the soft ramp masks residual ~1 px silhouette placement error.
-    # Kept as a switch for geometry-accurate meshes
-    s1_hard_alpha_eval: bool = False
+    # stage-1 silhouette treatment (see models/stage1.render_stage1_crop):
+    # "aa" = hard strict coverage + analytic edge antialiasing (dr.antialias
+    # analog — the vertex-offset gradient channel); "hard" = strict coverage
+    # only; "soft" = signed-distance sigmoid (round-1/2 legacy).
+    s1_alpha: str = "aa"
+    s1_alpha_eval: str = "hard"
     pos_gradient_boost: float = 1.0
     max_steps: int = 1024
     update_extra_interval: int = 16

@@ -158,7 +158,7 @@ def render_stage1_crop(
     enable_offset_nerf_grad: bool = False,
     pos_gradient_boost: float = 1.0,
     ssaa: int = 1,
-    hard_alpha: bool = False,
+    alpha_mode: str = "aa",
 ) -> Dict[str, jax.Array]:
     """One differentiable crop render (renderer.py:816-921).
 
@@ -199,17 +199,32 @@ def render_stage1_crop(
     rgbs = colors.reshape(Cs, Cs, 3)
     rgbs = jnp.where(rast["covered"][..., None], rgbs, 0.0)
 
-    # hard_alpha: binary pixel-center coverage instead of the soft
-    # silhouette sigmoid.  The soft ramp exists for TRAINING gradients
-    # (it is the dr.antialias analog); at eval/export time it smears
-    # ~1.4 px of blend across every silhouette, which measured as 86% of
-    # the stage-1 eval MSE against unantialiased ground truth.
-    if hard_alpha:
-        alpha = rast["covered"].astype(jnp.float32)[..., None]
-    else:
+    # alpha_mode (silhouette treatment):
+    #   "aa"   — hard pixel-center coverage + analytic edge antialiasing
+    #            (dr.antialias analog; the default, reference parity:
+    #            renderer.py:884-887).  Vertex-offset gradients flow through
+    #            the exact edge-crossing blend weights.
+    #   "hard" — binary pixel-center coverage, no blending (matches 1-spp
+    #            hard-edged ground truth exactly when placement is right).
+    #   "soft" — signed-distance sigmoid ramp (~soft_px wide).  Round-1/2
+    #            training mode; smears ~1.4 px of blend across every
+    #            silhouette (measured 86% of stage-1 eval MSE vs hard GT).
+    # NOTE "hard"/"aa" use STRICT coverage — `covered` also marks near-edge
+    # outside winners (extrapolated rim pixels), which dilates silhouettes
+    # outward by ~1px (the round-2 capstone's systematic rim error).
+    if alpha_mode in ("aa", "hard"):
+        alpha = rast["strict"].astype(jnp.float32)[..., None]
+    elif alpha_mode == "soft":
         alpha = rast["alpha"][..., None]
+    else:
+        raise ValueError(f"unknown alpha_mode {alpha_mode!r}")
     image = alpha * rgbs + (1.0 - alpha) * bg_color
     depth = alpha[..., 0] * rast["depth"]
+    if alpha_mode == "aa":
+        from .rasterizer import antialias
+        rgba = antialias(jnp.concatenate([image, alpha], axis=-1), rast,
+                         crop_origin)
+        image, alpha = rgba[..., :3], rgba[..., 3:]
     weights_sum = alpha[..., 0]
 
     if s > 1:

@@ -1039,7 +1039,7 @@ class Trainer:
                     ind_code=ind_code, contracted=cfg.contract,
                     enable_offset_nerf_grad=cfg.enable_offset_nerf_grad,
                     pos_gradient_boost=cfg.pos_gradient_boost,
-                    ssaa=ss)
+                    ssaa=ss, alpha_mode=cfg.s1_alpha)
 
                 loss_pix = cfg.lambda_rgb * jnp.mean(
                     (out["image"] - gt_rgb) ** 2, axis=-1)
@@ -1175,7 +1175,7 @@ class Trainer:
                     params, params["vertices_offsets"], mesh_v, mesh_f,
                     mvp, origin, dirs, bg, nspec, rspec, H, W,
                     shading="full", contracted=self.cfg.contract,
-                    hard_alpha=self.cfg.s1_hard_alpha_eval)
+                    alpha_mode=self.cfg.s1_alpha_eval)
             self._s1_eval_fn = _eval
             self._s1_eval_key = cache_key
 

@@ -396,6 +396,103 @@ def render_eval_segment(
     }
 
 
+def render_frame_queue(
+    params: Dict[str, Any],
+    occ_grid: jax.Array,
+    rays_o: jax.Array,            # [N, 3] all rays of the frame (N >= chunk)
+    rays_d: jax.Array,            # [N, 3]
+    aabb: jax.Array,              # [6]
+    spec: RenderSpec,             # spec.num_fine = samples per segment
+    net_spec: NetworkSpec,
+    *,
+    chunk: int = 8192,
+    shading: str = "full",
+    pool_size: Optional[int] = None,
+    eval_fine: int = 128,
+) -> Dict[str, jax.Array]:
+    """Whole-frame early-exit march in ONE device dispatch.
+
+    The reference's inference loop (renderer.py:749-802) keeps a device-side
+    alive-ray list and re-launches kernels per round from the host.  The
+    first TPU rebuild compacted alive rays on the HOST between rounds, which
+    costs one device->host sync per round — through the axon relay that is
+    ~0.25 s each, dominating the 1.73 s/frame eval (PERF.md).  This version
+    runs the whole loop inside `lax.while_loop`:
+
+      * per-ray march state (accumulated rgb/depth, transmittance T, current
+        t, alive flag) lives in dense [N] arrays on device;
+      * each iteration compacts the alive rays with a stable argsort (alive
+        first; 0.2 ms at 65k rays), takes the first `chunk`, marches them one
+        `spec.num_fine`-sample segment (valid samples pool-compacted before
+        the field evaluation, as in render_eval_segment), and scatters the
+        accumulators back;
+      * the loop exits when no ray is alive; a static safety bound caps
+        iterations at ceil(N/chunk) * (2*max_steps/num_fine).
+
+    Total field work matches the host-loop version (same chunking, same
+    pool); the ~1 dispatch + 1 fetch per ROUND becomes 1 dispatch + 1 fetch
+    per FRAME.  Returns pre-background image/depth/weights_sum like
+    render_eval_segment; caller composites the background.
+    """
+    from ..ops.sampling import occupied_length
+
+    n = rays_o.shape[0]
+    K = spec.num_fine
+    chunk = min(chunk, n)
+
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, spec.min_near)
+    olen = occupied_length(
+        rays_o, rays_d, occ_grid, nears, fars,
+        num_coarse=spec.num_coarse, grid_size=spec.grid_size,
+        cascades=spec.cascades, bound=spec.bound, contracted=spec.contract,
+        dt_gamma=spec.dt_gamma, max_steps=spec.max_steps)
+    dt_min = 2.0 * math.sqrt(3.0) / spec.max_steps
+    spacing = jnp.maximum(olen / eval_fine, dt_min).astype(jnp.float32)
+
+    image0 = jnp.zeros((n, 3), jnp.float32)
+    depth0 = jnp.zeros((n,), jnp.float32)
+    T0 = jnp.ones((n,), jnp.float32)
+    alive0 = olen > 0.0
+    max_iters = -(-n // chunk) * max(2 * spec.max_steps // max(K, 1), 2)
+
+    def cond(c):
+        image, depth, T, tcur, alive, it = c
+        return jnp.logical_and(jnp.any(alive), it < max_iters)
+
+    def body(c):
+        image, depth, T, tcur, alive, it = c
+        # stable sort: alive rays first, original order preserved
+        order = jnp.argsort(jnp.logical_not(alive))
+        idx = jax.lax.dynamic_slice_in_dim(order, 0, chunk)
+        a_sel = jnp.take(alive, idx)
+        ro = jnp.take(rays_o, idx, axis=0)
+        rd = jnp.take(rays_d, idx, axis=0)
+        tc = jnp.where(a_sel, jnp.take(tcur, idx), 1.0)
+        fr = jnp.where(a_sel, jnp.take(fars, idx), 0.0)  # dead: no samples
+        sd = jnp.take(spacing, idx)
+        seg = render_eval_segment(
+            params, occ_grid, ro, rd, tc, fr, sd, spec, net_spec,
+            shading=shading, pool_size=pool_size)
+        Ti = jnp.take(T, idx)
+        w = jnp.where(a_sel, Ti, 0.0)
+        image = image.at[idx].add(w[:, None] * seg["image"])
+        depth = depth.at[idx].add(w * seg["depth"])
+        Tn = jnp.where(a_sel, Ti * (1.0 - seg["weights_sum"]), Ti)
+        T = T.at[idx].set(Tn)
+        tprev = jnp.take(tcur, idx)
+        tn = jnp.where(a_sel, seg["t_exit"], tprev)
+        tcur = tcur.at[idx].set(tn)
+        alive_n = (a_sel & (Tn > spec.T_thresh)
+                   & (tn <= jnp.take(fars, idx)) & (tn > tprev))
+        alive = alive.at[idx].set(alive_n)
+        return (image, depth, T, tcur, alive, it + 1)
+
+    image, depth, T, _, _, iters = jax.lax.while_loop(
+        cond, body, (image0, depth0, T0, nears, alive0, jnp.int32(0)))
+    return {"image": image, "depth": depth, "weights_sum": 1.0 - T,
+            "iters": iters}
+
+
 def render_train(
     params: Dict[str, Any],
     occ_grid: jax.Array,

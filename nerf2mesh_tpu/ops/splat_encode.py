@@ -937,7 +937,7 @@ def splat_encode(table: jax.Array, x01: jax.Array, spec: HashGridSpec,
         xp = permute(xp, perm, inv)
     feat, cnt = splat_encode_raw(table, xp, spec, resid_budget,
                                  gather_levels, stochastic, winsort_levels,
-                                 interpret)
+                                 interpret=interpret)
     if sort:
         feat = permute(feat, inv, perm)
     return feat[:N0], cnt

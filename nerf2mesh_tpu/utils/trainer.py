@@ -690,7 +690,8 @@ class Trainer:
                      chunk: int = 8192, shading: str = "full",
                      bg_color: float = 1.0,
                      seg_samples: int = 32,
-                     stochastic: bool = False) -> Dict[str, np.ndarray]:
+                     stochastic: bool = False,
+                     fused: bool = True) -> Dict[str, np.ndarray]:
         """Full-frame render: early-exit segmented march (eval path).
 
         The reference's alive-ray compaction loop (renderer.py:749-802)
@@ -733,6 +734,39 @@ class Trainer:
             dt_gamma=rspec.dt_gamma, sdf=rspec.sdf)
         pool = None if rspec.sdf else (-(-int(0.75 * chunk * seg_samples)
                                          // 128) * 128)
+
+        if fused:
+            # whole-frame march in one dispatch + one fetch (the host-loop
+            # path below pays ~0.25 s of relay latency per round)
+            from ..models.renderer import render_frame_queue
+            n_pad = 1 << max(13, int(np.ceil(np.log2(max(n, 2)))))
+            fkey = (n_pad, chunk, shading, seg_samples, stochastic, rspec)
+            if getattr(self, "_eval_frame_key", None) != fkey:
+                def _frame(params, occ, ro, rd, aabb):
+                    return render_frame_queue(
+                        params, occ, ro, rd, aabb, seg_spec, nspec,
+                        chunk=min(chunk, n_pad), shading=shading,
+                        pool_size=pool, eval_fine=eval_fine)
+                self._eval_frame_fn = jax.jit(_frame)
+                self._eval_frame_key = fkey
+            ro = np.full((n_pad, 3), 1e6, np.float32)
+            rd = np.zeros((n_pad, 3), np.float32)
+            rd[:, 2] = 1.0                      # pad rays: miss the aabb
+            ro[:n] = rays_o
+            rd[:n] = rays_d
+            out = self._eval_frame_fn(
+                self.state.ema_params if use_ema else self.state.params,
+                self.state.render.occ_grid, jnp.asarray(ro),
+                jnp.asarray(rd), jnp.asarray(self._aabb))
+            packed = np.asarray(jnp.concatenate(
+                [out["image"], out["depth"][:, None],
+                 out["weights_sum"][:, None]], axis=-1))[:n]   # one fetch
+            image = packed[:, :3] + (1.0 - packed[:, 4:5]) * bg_color
+            return {
+                "image": image.reshape(H, W, 3),
+                "depth": packed[:, 3].reshape(H, W),
+                "weights_sum": packed[:, 4].reshape(H, W),
+            }
 
         # rspec in the key: the viewer mutates render options live
         cache_key = (chunk, shading, seg_samples, stochastic, rspec)

@@ -94,6 +94,30 @@ def test_checkpoint_resume(scene_root, workspace):
     assert int(t.state.step) == 310
 
 
+@pytest.mark.slow
+def test_fused_eval_matches_host_loop(scene_root, workspace):
+    """render_image(fused=True) — the one-dispatch lax.while_loop frame
+    march — must match the host-compaction loop bit-for-bit in structure
+    (same segments, same pool) and to float tolerance in values."""
+    from nerf2mesh_tpu.data.provider import load_nerf_dataset
+    from nerf2mesh_tpu.utils.trainer import Trainer
+
+    cfg = _cfg(scene_root, workspace, ["--iters", "300"])
+    ds = load_nerf_dataset(cfg, "val")
+    t = Trainer(cfg)
+    assert t.load_checkpoint(stage=0)
+    pose = ds.poses[0]
+    intr = ds.intrinsics_for(0) if hasattr(ds, "intrinsics_for") \
+        else ds.intrinsics
+    kw = dict(H=48, W=48, chunk=1024, seg_samples=16)
+    a = t.render_image(pose, intr, fused=True, **kw)
+    b = t.render_image(pose, intr, fused=False, **kw)
+    assert np.isfinite(a["image"]).all()
+    np.testing.assert_allclose(a["image"], b["image"], atol=2e-3)
+    np.testing.assert_allclose(a["weights_sum"], b["weights_sum"], atol=2e-3)
+    np.testing.assert_allclose(a["depth"], b["depth"], atol=5e-3)
+
+
 def test_checkpoint_nonstrict_load(tmp_path):
     """Schema-drifted checkpoints load partially with loud warnings
     (reference utils.py:1407-1473 non-strict load)."""

@@ -246,10 +246,13 @@ class HardScene:
         return dmin
 
 
-def _camera_rays(pose: np.ndarray, H: int, W: int, fl: float):
+def _camera_rays(pose: np.ndarray, H: int, W: int, fl: float,
+                 dx: float = 0.5, dy: float = 0.5):
+    """Pixel rays with subpixel offset (dx, dy) in [0,1) from the pixel's
+    top-left corner (0.5, 0.5 = pixel center)."""
     j, i = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-    x = (i.reshape(-1) + 0.5 - W / 2) / fl
-    y = -(j.reshape(-1) + 0.5 - H / 2) / fl
+    x = (i.reshape(-1) + dx - W / 2) / fl
+    y = -(j.reshape(-1) + dy - H / 2) / fl
     dirs = np.stack([x, y, -np.ones_like(x)], -1).astype(np.float32)
     rays_d = dirs @ pose[:3, :3].T
     rays_o = np.broadcast_to(pose[:3, 3], rays_d.shape)
@@ -372,8 +375,18 @@ def generate_synthetic_dataset(
     fovx_deg: float = 45.0,
     radius: float = 2.8,
     seed: int = 0,
+    ssaa: int = 1,
 ) -> str:
-    """Write a nerf-synthetic-format dataset under `root`. Returns root."""
+    """Write a nerf-synthetic-format dataset under `root`. Returns root.
+
+    ssaa: supersampling factor for the ground-truth render — ssaa^2 subpixel
+    rays per pixel, alpha-premultiplied average.  Blender's nerf-synthetic GT
+    images are antialiased path-traced renders; ssaa=1 (one hard binary
+    sample per pixel) puts a band of unmatched binary rim pixels around every
+    silhouette that no mesh/volume render can reproduce, which distorts rim
+    PSNR relative to the reference's benchmark semantics.  Use ssaa>=3 for
+    reference-like GT.
+    """
     try:
         import cv2
     except ImportError:  # pragma: no cover
@@ -399,8 +412,20 @@ def generate_synthetic_dataset(
                 theta = np.pi / 3
                 phi = 2 * np.pi * k / n
             pose = orbit_pose(theta, phi, radius)
-            rays_o, rays_d = _camera_rays(pose, H, W, fl)
-            rgb, alpha = scene.trace(rays_o, rays_d)
+            s = max(int(ssaa), 1)
+            acc_pm = np.zeros((H * W, 3), np.float32)   # premultiplied rgb
+            acc_a = np.zeros((H * W,), np.float32)
+            for ay in range(s):
+                for ax in range(s):
+                    rays_o, rays_d = _camera_rays(
+                        pose, H, W, fl,
+                        dx=(ax + 0.5) / s, dy=(ay + 0.5) / s)
+                    rgb_s, a_s = scene.trace(rays_o, rays_d)
+                    acc_pm += rgb_s * a_s[:, None]
+                    acc_a += a_s
+            alpha = acc_a / (s * s)
+            rgb = acc_pm / (s * s) / np.maximum(alpha[:, None], 1e-8)
+            rgb = np.where(alpha[:, None] > 0, rgb, 0.0)
             img = np.concatenate([rgb, alpha[:, None]], -1).reshape(H, W, 4)
             img8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
             fname = f"./{split}/r_{k}"

@@ -25,6 +25,11 @@ class Config:
     seed: int = 0
     stage: int = 0
     ckpt: str = "latest"
+    # checkpoint serialization: "pickle" (single portable file) or "orbax"
+    # (directory per checkpoint: checksummed OCDBT arrays + JSON metadata,
+    # partial/merging restore on schema drift).  Loading auto-detects the
+    # format, so runs can switch backends mid-training.
+    ckpt_backend: str = "pickle"
     fp16: bool = False            # on TPU this selects bf16 compute for the networks
     sdf: bool = False
     progressive_level: bool = False

@@ -1294,8 +1294,9 @@ class Trainer:
 
     # ------------------------------------------------------------ checkpoints
     def _ckpt_path(self, tag: str) -> str:
+        ext = ".ocp" if self.cfg.ckpt_backend == "orbax" else ".ckpt"
         return os.path.join(self.workspace, "checkpoints",
-                            f"ngp_stage{self.cfg.stage}_{tag}.ckpt")
+                            f"ngp_stage{self.cfg.stage}_{tag}{ext}")
 
     def save_checkpoint(self, tag: Optional[str] = None):
         tag = tag or f"{int(self.state.step):07d}"
@@ -1308,33 +1309,112 @@ class Trainer:
             # architecture snapshot for drift diagnostics on load
             "net_spec": repr(self.net_spec),
         }
-        path = self._ckpt_path(tag)
-        with open(path, "wb") as f:
-            pickle.dump(payload, f)
-        latest = self._ckpt_path("latest")
-        tmp = latest + ".tmp"
-        with open(tmp, "wb") as f:
-            pickle.dump(payload, f)
-        os.replace(tmp, latest)
+        save = (self._save_orbax if self.cfg.ckpt_backend == "orbax"
+                else self._save_pickle)
+        save(payload, self._ckpt_path(tag))
+        save(payload, self._ckpt_path("latest"))
         # rolling window of 2 (utils.py:1373-1379)
         cdir = os.path.join(self.workspace, "checkpoints")
         cks = sorted(
             p for p in os.listdir(cdir)
             if p.startswith(f"ngp_stage{self.cfg.stage}") and
-            "latest" not in p and "best" not in p and p.endswith(".ckpt"))
+            "latest" not in p and "best" not in p and
+            (p.endswith(".ckpt") or p.endswith(".ocp")))
+        import shutil
         for p in cks[:-2]:
-            os.remove(os.path.join(cdir, p))
+            full = os.path.join(cdir, p)
+            shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+
+    @staticmethod
+    def _save_pickle(payload: Dict[str, Any], path: str):
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f)
+        os.replace(tmp, path)
+
+    def _save_orbax(self, payload: Dict[str, Any], path: str):
+        """Orbax-backed save: checksummed OCDBT array store (atomic finalize)
+        + a JSON metadata sidecar inside the checkpoint directory."""
+        import shutil
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(path)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path, payload["state"])
+        meta = {k: v for k, v in payload.items() if k != "state"}
+        with open(os.path.join(path, "n2m_meta.json"), "w") as f:
+            json.dump(meta, f, default=float)
+
+    @staticmethod
+    def _norm_path(p) -> Tuple[str, ...]:
+        """Normalize a jax key path so namedtuple attributes, dict keys and
+        sequence indices compare equal between a live pytree and an orbax raw
+        restore (which returns nested dicts)."""
+        out = []
+        for k in p:
+            for attr in ("name", "key", "idx"):
+                if hasattr(k, attr):
+                    out.append(str(getattr(k, attr)))
+                    break
+            else:
+                out.append(str(k))
+        return tuple(out)
+
+    def _tree_from_raw(self, template, raw):
+        """Rebuild `template`'s exact pytree types (namedtuples, optax
+        states) from an orbax raw restore, matching leaves by normalized
+        path.  Missing/shape-drifted leaves keep the template value.
+        Returns (tree, fully_matched)."""
+        tp, treedef = jax.tree_util.tree_flatten_with_path(template)
+        rmap = {self._norm_path(p): v for p, v in
+                jax.tree_util.tree_flatten_with_path(raw)[0]}
+        leaves, ok = [], True
+        for p, v in tp:
+            r = rmap.get(self._norm_path(p))
+            if r is None or np.shape(r) != np.shape(v):
+                leaves.append(v)
+                ok = False
+            else:
+                leaves.append(np.asarray(r))
+        return jax.tree_util.tree_unflatten(treedef, leaves), ok
+
+    def _load_orbax(self, path: str) -> Dict[str, Any]:
+        """Restore an orbax checkpoint directory into a pickle-equivalent
+        payload.  The array tree is restored raw (nested dicts) and rebuilt
+        against the live TrainState's structure, so schema drift degrades to
+        the same non-strict partial-restore semantics as the pickle path."""
+        import orbax.checkpoint as ocp
+        with ocp.PyTreeCheckpointer() as ckptr:
+            raw = ckptr.restore(os.path.abspath(path))
+        state, ok = self._tree_from_raw(
+            jax.tree_util.tree_map(np.asarray, self.state), raw)
+        payload = {"state": state, "partial": not ok}
+        mpath = os.path.join(path, "n2m_meta.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                payload.update(json.load(f))
+        if not ok:
+            self.log("[WARN] orbax checkpoint schema drift: partial restore "
+                     "(matching arrays only; optimizer restarts)")
+        return payload
 
     def load_checkpoint(self, path: Optional[str] = None,
                         stage: Optional[int] = None) -> bool:
         stage = self.cfg.stage if stage is None else stage
         if path is None:
-            path = os.path.join(self.workspace, "checkpoints",
-                                f"ngp_stage{stage}_latest.ckpt")
+            base = os.path.join(self.workspace, "checkpoints",
+                                f"ngp_stage{stage}_latest")
+            # auto-detect the serialization format of what's on disk
+            path = next((base + e for e in (".ckpt", ".ocp")
+                         if os.path.exists(base + e)), base + ".ckpt")
         if not os.path.exists(path):
             return False
-        with open(path, "rb") as f:
-            payload = pickle.load(f)
+        if os.path.isdir(path):
+            payload = self._load_orbax(path)
+        else:
+            with open(path, "rb") as f:
+                payload = pickle.load(f)
         st = payload["state"]
 
         # non-strict parameter merge (reference load_checkpoint logs
@@ -1382,7 +1462,8 @@ class Trainer:
             self.log("[WARN] checkpoint render state shape drift; keeping "
                      "fresh occupancy grid")
 
-        if payload.get("stage", 0) != self.cfg.stage or not (pok and eok):
+        if payload.get("stage", 0) != self.cfg.stage or not (pok and eok) \
+                or payload.get("partial", False):
             # stage handoff (utils.py:587-589) or partial restore: model
             # params only — optimizer/step restart
             self.state = self.state._replace(

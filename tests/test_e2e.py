@@ -147,3 +147,47 @@ def test_checkpoint_nonstrict_load(tmp_path):
         str(tmp_path / "ws" / "checkpoints" / "ngp_stage0_latest.ckpt"))
     # mismatched table kept fresh init; matching mlps restored
     assert int(tr3.state.step) == 0
+
+
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    """--ckpt_backend orbax: checksummed directory checkpoints round-trip the
+    full TrainState (incl. optimizer namedtuples) and degrade to the same
+    non-strict partial restore on schema drift."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from nerf2mesh_tpu.config import Config
+    from nerf2mesh_tpu.utils.trainer import Trainer
+
+    cfg = Config(path=str(tmp_path), workspace=str(tmp_path / "ws"),
+                 grid_size=32, num_levels=4, log2_hashmap_size=10,
+                 ckpt_backend="orbax").finalize()
+    tr = Trainer(cfg)
+    tr.state = tr.state._replace(step=jnp.asarray(7, jnp.int32))
+    tr.save_checkpoint()
+    assert os.path.isdir(
+        str(tmp_path / "ws" / "checkpoints" / "ngp_stage0_latest.ocp"))
+
+    # full restore: exact pytree types (TrainState + optax states) rebuilt
+    tr2 = Trainer(cfg)
+    assert tr2.load_checkpoint()
+    assert int(tr2.state.step) == 7
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(tr2.state.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(tr.state.params)[0]))
+    assert jax.tree_util.tree_structure(tr2.state) == \
+        jax.tree_util.tree_structure(tr.state)
+
+    # a pickle-backend trainer auto-detects and loads the orbax directory
+    cfgp = dataclasses.replace(cfg, ckpt_backend="pickle").finalize()
+    trp = Trainer(cfgp)
+    assert trp.load_checkpoint()
+    assert int(trp.state.step) == 7
+
+    # drifted architecture: partial restore (fresh table, optimizer restart)
+    cfg3 = dataclasses.replace(cfg, log2_hashmap_size=11).finalize()
+    tr3 = Trainer(cfg3)
+    assert tr3.load_checkpoint(
+        str(tmp_path / "ws" / "checkpoints" / "ngp_stage0_latest.ocp"))
+    assert int(tr3.state.step) == 0

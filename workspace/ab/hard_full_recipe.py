@@ -1,0 +1,43 @@
+import sys; sys.path.insert(0, "/root/repo")
+"""Hard-proxy FULL two-stage recipe (VERDICT item 4 / TODO 7).
+
+The real benchmark datasets (nerf-synthetic lego etc.) cannot be fetched in
+this environment (zero egress; documented in BASELINE.md).  This runs the
+`-O`-equivalent two-stage recipe end-to-end on the HardScene procedural
+stand-in (checker-textured boxes, 0.015-radius rods, Blinn-Phong speculars)
+and reports stage-0/stage-1 PSNR/SSIM/LPIPS(proxy) + exports the full web
+package (OBJ/MTL/JPG textures/mlp.json).
+
+Numbers are labeled 'hard-proxy' everywhere — never compared 1:1 with
+published lego results.
+"""
+import os
+import time
+
+from nerf2mesh_tpu.data.synthetic import HardScene, generate_synthetic_dataset
+from nerf2mesh_tpu.main import main
+
+root = "/tmp/hard_scene_full"
+if not os.path.exists(os.path.join(root, "transforms_train.json")):
+    t = time.time()
+    generate_synthetic_dataset(root, scene=HardScene(), H=256, W=256,
+                               n_train=100, n_val=4, n_test=8, ssaa=3)
+    print("HARD GT generated %.0fs" % (time.time() - t), flush=True)
+
+ws = "/tmp/ws_hard_full"
+t0 = time.time()
+main([root, "--workspace", ws,
+      "--bound", "1", "--scale", "0.8", "--dt_gamma", "0",
+      "--iters", "5000", "--num_rays", "4096", "--num_points", "262144",
+      "--grid_size", "128", "--diffuse_step", "1000",
+      "--random_image_batch", "--mark_untrained", "--adaptive_num_rays",
+      "--mesh_visibility_culling",
+      "--mcubes_reso", "256", "--decimate_target", "100000",
+      "--n_eval", "2", "--n_ckpt", "2", "--test_no_video"])
+print("HARD STAGE0 DONE %.0fs" % (time.time() - t0), flush=True)
+main([root, "--workspace", ws,
+      "--stage", "1", "--bound", "1", "--scale", "0.8", "--dt_gamma", "0",
+      "--iters", "4000", "--lr_vert", "3e-4", "--refine",
+      "--texture_size", "2048", "--ssaa", "1", "--s1_alpha_eval", "aa",
+      "--n_eval", "4", "--n_ckpt", "2", "--test_no_video"])
+print("HARD ALL DONE %.0fs" % (time.time() - t0), flush=True)

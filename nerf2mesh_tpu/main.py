@@ -40,6 +40,16 @@ def main(argv=None):
 
     trainer = Trainer(cfg, mesh=mesh)
 
+    train_ds = None
+    if cfg.stage == 1:
+        # stage-1 state (refined mesh + vertices_offsets param) must exist
+        # BEFORE checkpoint restore, or the restore drops the saved offsets
+        # as unexpected keys (non-strict load) and resume silently loses
+        # them (reference loads the mesh in the model ctor, renderer.py:128,
+        # so its load_checkpoint at utils.py:587-589 sees matching keys)
+        train_ds = load_dataset(cfg, split=cfg.train_split)
+        trainer.setup_stage1(train_ds)
+
     if cfg.ckpt == "latest":
         loaded = trainer.load_checkpoint()
         if not loaded and cfg.stage == 1:
@@ -65,7 +75,8 @@ def main(argv=None):
                               dataset=train_ds)
         return
 
-    train_ds = load_dataset(cfg, split=cfg.train_split)
+    if train_ds is None:
+        train_ds = load_dataset(cfg, split=cfg.train_split)
     valid_ds = load_dataset(cfg, split="val")
 
     if cfg.vis_pose:
@@ -83,7 +94,8 @@ def main(argv=None):
 
     trainer.metrics = [PSNRMeter()]
     if cfg.stage == 1:
-        trainer.setup_stage1(train_ds)
+        # setup_stage1 already ran (before checkpoint restore, above);
+        # running it again would re-zero the restored vertices_offsets
         trainer.train_stage1(train_ds, valid_ds)
     else:
         trainer.train(train_ds, valid_ds)

@@ -75,7 +75,10 @@ def export_stage1_package(trainer, out_dir: str, h0: int = 2048,
     os.makedirs(out_dir, exist_ok=True)
 
     ssaa = max(int(cfg.ssaa), 1)
-    v_all = mesh.vertices + np.asarray(params["vertices_offsets"])
+    # offsets may be bucket-padded (trainer._reset_stage1_params); the real
+    # vertices are the leading mesh.num_vertices rows
+    v_all = mesh.vertices + np.asarray(
+        params["vertices_offsets"])[:mesh.num_vertices]
     f_all = mesh.triangles
     cascades = len(mesh.v_cumsum) - 1
 

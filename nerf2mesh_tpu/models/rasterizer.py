@@ -29,7 +29,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +60,8 @@ def rasterize_crop(
     crop_origin: jax.Array,     # [2] (y0, x0) in pixels, traced
     H: int, W: int,
     spec: RasterSpec = RasterSpec(),
+    f_valid: Optional[jax.Array] = None,  # traced count: faces >= f_valid
+                                          # are padding and never rasterize
 ) -> Dict[str, jax.Array]:
     """Rasterize the [crop x crop] window at crop_origin.
 
@@ -67,6 +69,11 @@ def rasterize_crop(
       tri_id [C, C] int32 (-1 = empty), bary [C, C, 3] perspective-correct,
       depth [C, C] ndc z, alpha [C, C] soft coverage, zw [C, C] clip-w.
     bary/depth/alpha are differentiable w.r.t. verts_clip.
+
+    f_valid supports bucket-padded meshes (trainer pads V/F to size buckets
+    so stage-1 refines reuse the compiled step instead of re-jitting on
+    every topology change): pad triangles are masked out of the overlap
+    compaction, so they consume no K slots and paint nothing.
     """
     Cp = spec.crop
     K = spec.max_tris
@@ -99,6 +106,8 @@ def rasterize_crop(
         & (xmax >= x0) & (xmin < x0 + Cp)
         & (ymax >= y0) & (ymin < y0 + Cp)
     )
+    if f_valid is not None:
+        overlaps = overlaps & (jnp.arange(F) < f_valid)
 
     # --- compact overlapping triangles to K slots (ray-major order).
     # Triangles past the K budget are DROPPED — report the count loudly

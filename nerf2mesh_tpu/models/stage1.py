@@ -139,6 +139,53 @@ def init_offsets(mesh: Stage1Mesh) -> jax.Array:
     return jnp.zeros((mesh.num_vertices, 3), jnp.float32)
 
 
+def _bucket(n: int, min_b: int = 1024, cap: int = 0) -> int:
+    """Next power-of-two size bucket (>= min_b); cap > 0 clamps."""
+    b = max(min_b, 1 << int(np.ceil(np.log2(max(n, 1)))))
+    if cap > 0:
+        b = min(max(b, n), max(cap, n))
+    return max(b, n)
+
+
+def pad_stage1_buffers(mesh: Stage1Mesh, min_b: int = 1024,
+                       face_cap: int = 1 << 18) -> Dict[str, np.ndarray]:
+    """Pad mesh buffers to power-of-two size buckets so stage-1 refines
+    (6 topology changes per run, renderer.py:209-294) keep array SHAPES
+    stable and the jitted step/eval functions are reused instead of
+    recompiled (remote compiles cost minutes on the axon backend and its
+    persistent compile cache is inert — PERF.md).
+
+    Padding is inert by construction + masking:
+      * pad vertices sit at 0 with zero offsets; no real face references them
+      * pad faces reference the last pad vertex; `rasterize_crop(f_valid=...)`
+        masks them out of overlap compaction
+      * pad edges/pairs self-reference pad slots; the regularizer losses
+        take traced real counts and mask them out of their means
+    Returns padded arrays + a `counts` vector
+    [v_real, f_real, e_real, p_real, v_inner] consumed as a TRACED step arg.
+    """
+    V, F = mesh.num_vertices, mesh.num_faces
+    E, P = len(mesh.edges), len(mesh.face_pairs)
+    Vp = _bucket(V, min_b)
+    Fp = _bucket(F, min_b, cap=face_cap)
+    Ep = _bucket(E, min_b)
+    Pp = _bucket(P, min_b)
+
+    verts = np.zeros((Vp, 3), np.float32)
+    verts[:V] = mesh.vertices
+    tris = np.full((Fp, 3), Vp - 1, np.int32)
+    tris[:F] = mesh.triangles
+    edges = np.full((Ep, 2), Vp - 1, np.int32)
+    edges[:E] = mesh.edges
+    pairs = np.full((Pp, 2), Fp - 1, np.int32)
+    pairs[:P] = mesh.face_pairs
+    deg = np.ones((Vp,), np.float32)
+    deg[:V] = mesh.vert_degree
+    counts = np.asarray([V, F, E, P, int(mesh.v_cumsum[1])], np.int32)
+    return dict(vertices=verts, triangles=tris, edges=edges,
+                face_pairs=pairs, vert_degree=deg, counts=counts)
+
+
 def render_stage1_crop(
     params: Dict,
     offsets: jax.Array,           # [V, 3] learnable
@@ -159,6 +206,7 @@ def render_stage1_crop(
     pos_gradient_boost: float = 1.0,
     ssaa: int = 1,
     alpha_mode: str = "aa",
+    f_valid: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """One differentiable crop render (renderer.py:816-921).
 
@@ -184,7 +232,8 @@ def render_stage1_crop(
         b = pos_gradient_boost
         clip = clip * b + jax.lax.stop_gradient(clip * (1.0 - b))
 
-    rast = rasterize_crop(clip, mesh_f, crop_origin, H, W, raster_spec)
+    rast = rasterize_crop(clip, mesh_f, crop_origin, H, W, raster_spec,
+                          f_valid=f_valid)
 
     xyzs = interpolate(verts, rast, mesh_f)                       # [C, C, 3]
     if contracted:
@@ -243,21 +292,33 @@ def render_stage1_crop(
 
 # ---------------- mesh regularizers (utils.py:116-221, 759-789) -------------
 
+def _masked_mean(x: jax.Array, n_real, size: int) -> jax.Array:
+    """Mean over the first n_real entries (traced) of a length-`size` vector;
+    pad entries are masked so bucket-padded buffers don't skew the loss."""
+    if n_real is None:
+        return jnp.mean(x)
+    m = (jnp.arange(size) < n_real).astype(x.dtype)
+    return jnp.sum(x * m) / jnp.maximum(n_real.astype(x.dtype), 1.0)
+
+
 def laplacian_loss(verts: jax.Array, edges: jax.Array,
-                   degree: jax.Array) -> jax.Array:
+                   degree: jax.Array, v_real=None, e_real=None) -> jax.Array:
     """Uniform laplacian smoothing: mean || v - mean(neighbors) ||
     (utils.py:190-221 laplacian_smooth_loss)."""
+    w = (jnp.ones((edges.shape[0], 1), verts.dtype) if e_real is None
+         else (jnp.arange(edges.shape[0]) < e_real)[:, None].astype(verts.dtype))
     acc = jnp.zeros_like(verts)
-    acc = acc.at[edges[:, 0]].add(verts[edges[:, 1]])
-    acc = acc.at[edges[:, 1]].add(verts[edges[:, 0]])
+    acc = acc.at[edges[:, 0]].add(verts[edges[:, 1]] * w)
+    acc = acc.at[edges[:, 1]].add(verts[edges[:, 0]] * w)
     lap = verts - acc / degree[:, None]
     # eps inside the sqrt: jnp's d|x|/dx is NaN at 0 (offsets start at exactly
     # zero on flat regions; torch's subgradient there is 0)
-    return jnp.mean(jnp.sqrt(jnp.sum(lap * lap, axis=-1) + 1e-12))
+    return _masked_mean(jnp.sqrt(jnp.sum(lap * lap, axis=-1) + 1e-12),
+                        v_real, verts.shape[0])
 
 
 def normal_consistency_loss(verts: jax.Array, tris: jax.Array,
-                            face_pairs: jax.Array) -> jax.Array:
+                            face_pairs: jax.Array, p_real=None) -> jax.Array:
     """1 - cos between adjacent face normals (pytorch3d
     mesh_normal_consistency analog, utils.py:763)."""
     v0 = verts[tris[:, 0]]
@@ -265,25 +326,40 @@ def normal_consistency_loss(verts: jax.Array, tris: jax.Array,
     n = n * jax.lax.rsqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-20)
     na = n[face_pairs[:, 0]]
     nb = n[face_pairs[:, 1]]
-    return jnp.mean(1.0 - jnp.abs(jnp.sum(na * nb, axis=-1)))
+    return _masked_mean(1.0 - jnp.abs(jnp.sum(na * nb, axis=-1)),
+                        p_real, face_pairs.shape[0])
 
 
-def edge_length_loss(verts: jax.Array, edges: jax.Array) -> jax.Array:
+def edge_length_loss(verts: jax.Array, edges: jax.Array,
+                     e_real=None) -> jax.Array:
     """Mean squared edge length (pytorch3d mesh_edge_loss analog)."""
     d = verts[edges[:, 0]] - verts[edges[:, 1]]
-    return jnp.mean(jnp.sum(d * d, axis=-1))
+    return _masked_mean(jnp.sum(d * d, axis=-1), e_real, edges.shape[0])
 
 
-def offsets_loss(offsets: jax.Array, v_inner: int,
-                 bound: float) -> jax.Array:
+def offsets_loss(offsets: jax.Array, v_inner, bound: float,
+                 v_real=None) -> jax.Array:
     """L2 on offsets, 0.1x weight for outer-cascade vertices
-    (utils.py:771-789)."""
-    inner = offsets[:v_inner]
-    loss = jnp.mean(jnp.sum(inner ** 2, axis=-1))
-    if offsets.shape[0] > v_inner:
-        outer = offsets[v_inner:]
-        loss = loss + 0.1 * jnp.mean(jnp.sum(outer ** 2, axis=-1))
-    return loss
+    (utils.py:771-789).  v_inner may be a traced scalar (bucket-padded
+    buffers keep shapes static across refines); pads beyond v_real are
+    masked."""
+    V = offsets.shape[0]
+    sq = jnp.sum(offsets ** 2, axis=-1)
+    if v_real is None and isinstance(v_inner, int):
+        inner = sq[:v_inner]
+        loss = jnp.mean(inner)
+        if V > v_inner:
+            loss = loss + 0.1 * jnp.mean(sq[v_inner:])
+        return loss
+    iota = jnp.arange(V)
+    vi = jnp.asarray(v_inner)
+    vr = jnp.asarray(V if v_real is None else v_real)
+    in_m = (iota < vi).astype(sq.dtype)
+    out_m = ((iota >= vi) & (iota < vr)).astype(sq.dtype)
+    f32 = sq.dtype
+    loss = jnp.sum(sq * in_m) / jnp.maximum(vi.astype(f32), 1.0)
+    n_out = jnp.maximum((vr - vi).astype(f32), 1.0)
+    return loss + 0.1 * jnp.sum(sq * out_m) / n_out
 
 
 # ---------------- adaptive refinement (renderer.py:209-294) ------------------

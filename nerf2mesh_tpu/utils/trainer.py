@@ -957,56 +957,77 @@ class Trainer:
 
     def _raster_spec(self):
         from ..models.rasterizer import RasterSpec
-        ntri = getattr(self, "stage1_mesh", None)
+        mv = getattr(self, "mesh_f", None)
         # compaction budget K must cover the worst-case crop overlap, which
         # for an object-filling crop approaches the full face count (the
         # capstone measured 151k triangles overlapping one 128^2 crop of a
         # 233k-face mesh; K=2^17 dropped 13% of them).  Ceiling 2^18 keeps
         # [K, B, B] fragment tensors ~1.5 GB with autodiff — fine on 16 GB.
+        # Sized from the PADDED face bucket so the spec (and the compiled
+        # step keyed on it) is stable across refines within a bucket.
+        ntri = (int(mv.shape[0]) if mv is not None
+                else getattr(getattr(self, "stage1_mesh", None),
+                             "num_faces", None))
         cap = 2 ** 15 if ntri is None else min(
-            2 ** 18, 1 << int(np.ceil(np.log2(max(ntri.num_faces, 2)))))
+            2 ** 18, 1 << int(np.ceil(np.log2(max(ntri, 2)))))
         return RasterSpec(crop=getattr(self, "_s1_crop", 128),
                           max_tris=cap, frag=8)
 
     def _reset_stage1_params(self):
         """(Re)create offsets + error accumulators and re-init the optimizer
-        after topology changes (utils.py:1208-1211)."""
-        from ..models.stage1 import init_offsets
+        after topology changes (utils.py:1208-1211).
+
+        Device buffers are bucket-padded (stage1.pad_stage1_buffers) so that
+        refines keep array shapes stable and the jitted step/eval wrappers
+        hit their shape caches instead of recompiling (minutes per remote
+        compile on this backend)."""
+        from ..models.stage1 import pad_stage1_buffers
         mesh = self.stage1_mesh
+        pad = pad_stage1_buffers(mesh)
+        real_shape = (mesh.num_vertices, mesh.num_faces)
+        Vp = len(pad["vertices"])
         params = dict(self.state.params)
         old = params.get("vertices_offsets")
-        if old is not None and old.shape[0] == mesh.num_vertices:
+        if (old is not None and old.shape[0] == Vp
+                and getattr(self, "_s1_real_shape", None) == real_shape):
             # checkpoint-resumed with unchanged topology: keep offsets and
             # optimizer moments
             params["vertices_offsets"] = old
             opt_state = self.state.opt_state
         else:
-            params["vertices_offsets"] = init_offsets(mesh)
+            params["vertices_offsets"] = jnp.zeros((Vp, 3), jnp.float32)
             opt_state = self.optimizer.init(params)
         self.state = self.state._replace(
             params=params,
             opt_state=opt_state,
             ema_params=jax.tree_util.tree_map(jnp.copy, params))
-        self.mesh_v = jnp.asarray(mesh.vertices)
-        self.mesh_f = jnp.asarray(mesh.triangles)
-        self.mesh_edges = jnp.asarray(mesh.edges)
-        self.mesh_deg = jnp.asarray(mesh.vert_degree)
-        self.mesh_pairs = jnp.asarray(mesh.face_pairs)
-        self.tri_errors = jnp.zeros((mesh.num_faces,), jnp.float32)
-        self.tri_counts = jnp.zeros((mesh.num_faces,), jnp.float32)
+        self.mesh_v = jnp.asarray(pad["vertices"])
+        self.mesh_f = jnp.asarray(pad["triangles"])
+        self.mesh_edges = jnp.asarray(pad["edges"])
+        self.mesh_deg = jnp.asarray(pad["vert_degree"])
+        self.mesh_pairs = jnp.asarray(pad["face_pairs"])
+        self.s1_counts = jnp.asarray(pad["counts"])   # traced step arg
+        self._s1_real_shape = real_shape
+        self.tri_errors = jnp.zeros((len(pad["triangles"]),), jnp.float32)
+        self.tri_counts = jnp.zeros((len(pad["triangles"]),), jnp.float32)
         self._stage1_step_fn = None
-        # the jitted eval closure captures RasterSpec (max_tris) and H/W; it
-        # must not survive a topology change
-        self._s1_eval_fn = None
-        self._s1_eval_key = None
 
     def _build_stage1_step(self):
         cfg = self.cfg
         nspec = self.net_spec
         rspec = self._raster_spec()
         optimizer = self.optimizer
-        v_inner = int(self.stage1_mesh.v_cumsum[1])
         Cp = rspec.crop
+
+        # one jitted wrapper per RasterSpec: mesh buffers are ARGUMENTS (not
+        # closure constants), so refines with unchanged size buckets reuse
+        # the compiled executable via jax.jit's shape cache instead of
+        # recompiling (remote compiles cost minutes here; cache inert)
+        cache = getattr(self, "_s1_step_cache", None)
+        if cache is None:
+            cache = self._s1_step_cache = {}
+        if rspec in cache:
+            return cache[rspec]
 
         from ..models.stage1 import (
             edge_length_loss, laplacian_loss, normal_consistency_loss,
@@ -1017,8 +1038,12 @@ class Trainer:
         ss = max(int(cfg.ssaa), 1)
         Cs = Cp * ss  # supersampled crop side (renderer.py:825-833)
 
-        def step_fn(state: TrainState, tri_errors, tri_counts, images_u8,
+        def step_fn(state: TrainState, tri_errors, tri_counts,
+                    mesh_v, mesh_f, mesh_edges, mesh_deg, mesh_pairs,
+                    counts, images_u8,
                     poses, mvps, intrinsics, dyn: StepDynamics):
+            v_real, f_real, e_real, p_real, v_inner = (
+                counts[0], counts[1], counts[2], counts[3], counts[4])
             key, k_img, k_crop, k_bg = jax.random.split(state.key, 4)
             B, H, W, C = images_u8.shape
             img_idx = jax.random.randint(k_img, (), 0, B)
@@ -1066,14 +1091,14 @@ class Trainer:
 
             def loss_fn(params):
                 out = render_stage1_crop(
-                    params, params["vertices_offsets"], self.mesh_v,
-                    self.mesh_f, mvp, crop_origin, dirs, bg, nspec, rspec,
+                    params, params["vertices_offsets"], mesh_v,
+                    mesh_f, mvp, crop_origin, dirs, bg, nspec, rspec,
                     H, W,
                     shading="full",
                     ind_code=ind_code, contracted=cfg.contract,
                     enable_offset_nerf_grad=cfg.enable_offset_nerf_grad,
                     pos_gradient_boost=cfg.pos_gradient_boost,
-                    ssaa=ss, alpha_mode=cfg.s1_alpha)
+                    ssaa=ss, alpha_mode=cfg.s1_alpha, f_valid=f_real)
 
                 loss_pix = cfg.lambda_rgb * jnp.mean(
                     (out["image"] - gt_rgb) ** 2, axis=-1)
@@ -1082,19 +1107,20 @@ class Trainer:
                         (out["weights_sum"] - gt_mask[..., 0]) ** 2)
                 loss = jnp.mean(loss_pix)
 
-                verts = self.mesh_v + params["vertices_offsets"]
+                verts = mesh_v + params["vertices_offsets"]
                 if cfg.lambda_lap > 0:
                     loss += cfg.lambda_lap * laplacian_loss(
-                        verts, self.mesh_edges, self.mesh_deg)
+                        verts, mesh_edges, mesh_deg, v_real, e_real)
                 if cfg.lambda_normal > 0:
                     loss += cfg.lambda_normal * normal_consistency_loss(
-                        verts, self.mesh_f, self.mesh_pairs)
+                        verts, mesh_f, mesh_pairs, p_real)
                 if cfg.lambda_edgelen > 0:
                     loss += cfg.lambda_edgelen * edge_length_loss(
-                        verts, self.mesh_edges)
+                        verts, mesh_edges, e_real)
                 if cfg.lambda_offsets > 0:
                     loss += cfg.lambda_offsets * offsets_loss(
-                        params["vertices_offsets"], v_inner, cfg.bound)
+                        params["vertices_offsets"], v_inner, cfg.bound,
+                        v_real)
                 if cfg.lambda_lpips > 0:
                     # weight-free perceptual analog of the reference's
                     # lpips-vgg crop loss (utils.py:1044-1049)
@@ -1137,7 +1163,9 @@ class Trainer:
                 render=state.render, step=state.step + 1, key=key)
             return new_state, tri_errors, tri_counts, metrics
 
-        return jax.jit(step_fn, donate_argnums=(0, 1, 2))
+        fn = jax.jit(step_fn, donate_argnums=(0, 1, 2))
+        cache[rspec] = fn
+        return fn
 
     def train_stage1(self, dataset: Dataset, valid_dataset: Optional[Dataset] = None,
                      max_steps: Optional[int] = None):
@@ -1156,10 +1184,12 @@ class Trainer:
         for step in range(start, steps):
             if cfg.refine and (step + 1) in cfg.refine_steps:
                 self.log(f"[INFO] refine at step {step+1}")
+                v_real, f_real = self._s1_real_shape
                 self.stage1_mesh = refine_and_decimate(
                     self.stage1_mesh,
-                    np.asarray(self.state.params["vertices_offsets"]),
-                    np.asarray(self.tri_errors), np.asarray(self.tri_counts),
+                    np.asarray(self.state.params["vertices_offsets"])[:v_real],
+                    np.asarray(self.tri_errors)[:f_real],
+                    np.asarray(self.tri_counts)[:f_real],
                     cfg, self.workspace)
                 self._reset_stage1_params()
 
@@ -1168,7 +1198,9 @@ class Trainer:
 
             (self.state, self.tri_errors, self.tri_counts,
              last) = self._stage1_step_fn(
-                self.state, self.tri_errors, self.tri_counts, images, poses,
+                self.state, self.tri_errors, self.tri_counts,
+                self.mesh_v, self.mesh_f, self.mesh_edges, self.mesh_deg,
+                self.mesh_pairs, self.s1_counts, images, poses,
                 mvps, intrinsics, self.dynamics(step))
 
             if (step + 1) % max(1, steps // 10) == 0 or step == steps - 1:
@@ -1200,18 +1232,22 @@ class Trainer:
         nspec = self.net_spec
         params = self.state.params
 
+        # mesh buffers are bucket-padded args: the wrapper survives refines
+        # and jax.jit's shape cache avoids recompiles within a bucket
+        cache = getattr(self, "_s1_eval_cache", None)
+        if cache is None:
+            cache = self._s1_eval_cache = {}
         cache_key = (rspec, H, W)
-        if getattr(self, "_s1_eval_fn", None) is None or \
-                getattr(self, "_s1_eval_key", None) != cache_key:
+        if cache_key not in cache:
             @jax.jit
-            def _eval(params, mesh_v, mesh_f, mvp, origin, dirs, bg):
+            def _eval(params, mesh_v, mesh_f, f_real, mvp, origin, dirs, bg):
                 return render_stage1_crop(
                     params, params["vertices_offsets"], mesh_v, mesh_f,
                     mvp, origin, dirs, bg, nspec, rspec, H, W,
                     shading="full", contracted=self.cfg.contract,
-                    alpha_mode=self.cfg.s1_alpha_eval)
-            self._s1_eval_fn = _eval
-            self._s1_eval_key = cache_key
+                    alpha_mode=self.cfg.s1_alpha_eval, f_valid=f_real)
+            cache[cache_key] = _eval
+        _eval_fn = cache[cache_key]
 
         image = np.zeros((H, W, 3), np.float32)
         depth = np.zeros((H, W), np.float32)
@@ -1227,10 +1263,10 @@ class Trainer:
                                  -np.ones_like(ii)], -1)
                 dirs = (dcam.reshape(-1, 3) @ np.asarray(pose)[:3, :3].T
                         ).reshape(Cp, Cp, 3).astype(np.float32)
-                out = self._s1_eval_fn(params, self.mesh_v, self.mesh_f,
-                                       jnp.asarray(mvp),
-                                       jnp.asarray([y0, x0]),
-                                       jnp.asarray(dirs), bg)
+                out = _eval_fn(params, self.mesh_v, self.mesh_f,
+                               self.s1_counts[1], jnp.asarray(mvp),
+                               jnp.asarray([y0, x0]),
+                               jnp.asarray(dirs), bg)
                 h = min(Cp, H - y0); w = min(Cp, W - x0)
                 image[y0:y0+h, x0:x0+w] = np.asarray(out["image"])[:h, :w]
                 depth[y0:y0+h, x0:x0+w] = np.asarray(out["depth"])[:h, :w]
@@ -1309,6 +1345,10 @@ class Trainer:
             # architecture snapshot for drift diagnostics on load
             "net_spec": repr(self.net_spec),
         }
+        if getattr(self, "_s1_real_shape", None) is not None:
+            # real (unpadded) topology: offsets are only transferable to the
+            # exact same mesh, even when bucket padding makes shapes match
+            payload["s1_shape"] = tuple(self._s1_real_shape)
         save = (self._save_orbax if self.cfg.ckpt_backend == "orbax"
                 else self._save_pickle)
         save(payload, self._ckpt_path(tag))
@@ -1416,6 +1456,21 @@ class Trainer:
             with open(path, "rb") as f:
                 payload = pickle.load(f)
         st = payload["state"]
+
+        # bucket padding makes offsets SHAPES match across different real
+        # topologies — transfer them only when the real (v, f) counts match
+        ck_shape = payload.get("s1_shape")
+        if (ck_shape is not None
+                and getattr(self, "_s1_real_shape", None) is not None
+                and tuple(ck_shape) != tuple(self._s1_real_shape)
+                and isinstance(st.params, dict)
+                and "vertices_offsets" in st.params):
+            self.log(f"[WARN] checkpoint stage-1 topology {tuple(ck_shape)} "
+                     f"!= current {tuple(self._s1_real_shape)} — dropping "
+                     "saved vertices_offsets (optimizer restarts)")
+            p = dict(st.params); p.pop("vertices_offsets")
+            e = dict(st.ema_params); e.pop("vertices_offsets", None)
+            st = st._replace(params=p, ema_params=e)
 
         # non-strict parameter merge (reference load_checkpoint logs
         # missing/unexpected keys and keeps going, utils.py:1407-1473):

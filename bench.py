@@ -72,17 +72,22 @@ def main():
     # the encoder's per-level routing all settle (the reference measures
     # steady-state throughput at the 2^18 points/step adaptive target too,
     # main.py:67-69)
+    # steps are dispatched in scan chunks of the grid-update cadence
+    # (cfg.steps_per_dispatch): the relay's ~0.5 s per-dispatch overhead
+    # otherwise dominates the 0.33 s step compute (PERF.md session-5)
+    chunk = max(1, min(int(cfg.steps_per_dispatch),
+                       cfg.update_extra_interval))
     state = trainer.state
-    for step in range(WARMUP_STEPS):
+    for step in range(0, WARMUP_STEPS, chunk):
         if step % cfg.update_extra_interval == 0:
             trainer.state = state
             trainer.update_grid(step)
             state = trainer.state
         nr = trainer._bucket(trainer.num_rays)
-        fn = trainer.step_fn_for(nr)
+        fn = trainer.step_fn_for(nr, chunk)
         state, metrics = fn(state, images, poses, intrinsics, None,
                             trainer.dynamics(step))
-        if (step + 1) % cfg.update_extra_interval == 0:
+        if (step + chunk) % cfg.update_extra_interval == 0:
             npts = int(metrics["num_points"])   # syncs; warmup only
             if npts > 0:
                 trainer.num_rays = int(round(cfg.num_points / npts * nr))
@@ -92,17 +97,17 @@ def main():
     # measurement: routing/ray count frozen; fetch one scalar at the end
     # (block_until_ready does not reliably block through the axon relay)
     nr = trainer._bucket(trainer.num_rays)
-    fn = trainer.step_fn_for(nr)
+    fn = trainer.step_fn_for(nr, chunk)
     total_rays = 0
     t0 = time.perf_counter()
-    for step in range(WARMUP_STEPS, WARMUP_STEPS + BENCH_STEPS):
+    for step in range(WARMUP_STEPS, WARMUP_STEPS + BENCH_STEPS, chunk):
         if step % cfg.update_extra_interval == 0:
             trainer.state = state
             trainer.update_grid(step)
             state = trainer.state
         state, metrics = fn(state, images, poses, intrinsics, None,
                             trainer.dynamics(step))
-        total_rays += nr
+        total_rays += nr * chunk
     float(metrics["loss"])
     dt = time.perf_counter() - t0
 

@@ -77,6 +77,11 @@ class Config:
     pos_gradient_boost: float = 1.0
     max_steps: int = 1024
     update_extra_interval: int = 16
+    # stage-0 train steps per device dispatch (lax.scan chunk).  The axon
+    # relay costs ~0.5 s per dispatch even pipelined (PERF.md round-2
+    # session-5); chunking to the grid-update cadence amortizes it.  1
+    # disables chunking (exact per-step host control).
+    steps_per_dispatch: int = 16
     max_ray_batch: int = 4096
     grid_size: int = 128
     mark_untrained: bool = False

@@ -187,6 +187,26 @@ class Trainer:
             lambda_depth_ramp=jnp.asarray(min(1.0, step / 1000.0), jnp.float32),
         )
 
+    def _dynamics_traced(self, step: jax.Array) -> StepDynamics:
+        """dynamics() on a TRACED step scalar — used inside multi-step scan
+        dispatches where the step index advances on-device (same formulas)."""
+        cfg = self.cfg
+        half = jnp.float32(max(0.5 * cfg.iters, 1.0))
+        s = step.astype(jnp.float32)
+        ramp = jnp.minimum(1.0, s / half)
+        if cfg.progressive_level:
+            ml = 4 + (12.0 * ramp).astype(jnp.int32)
+        else:
+            ml = jnp.int32(16)
+        return StepDynamics(
+            full_shading=jnp.logical_and(step >= cfg.diffuse_step,
+                                         not cfg.diffuse_only),
+            max_level=ml,
+            cos_anneal_ratio=ramp,
+            normal_epsilon=1e-1 * (1.0 - jnp.minimum(0.999, s / half)),
+            lambda_depth_ramp=jnp.minimum(1.0, s / 1000.0),
+        )
+
     def _loss_and_metrics(self, params, render, key, images_u8, poses,
                           intrinsics, cam_near_far, dyn: StepDynamics,
                           num_rays: int, depth_data=None):
@@ -369,7 +389,13 @@ class Trainer:
         }
         return loss, metrics
 
-    def _build_step(self, num_rays: int):
+    def _build_step(self, num_rays: int, n_steps: int = 1):
+        """Jitted train step.  n_steps > 1 runs that many steps per DISPATCH
+        via lax.scan: the axon relay costs ~0.4-0.5 s per dispatch even when
+        pipelined (stoch_decompose: render fwd+bwd 325 ms inside a fori_loop
+        vs 808 ms per single-step dispatch), so chunking steps amortizes the
+        dominant non-compute cost.  Per-step dynamics are recomputed on-device
+        from state.step; the host-passed dyn is used only when n_steps == 1."""
         cfg = self.cfg
         optimizer = self.optimizer
         mesh = self.mesh
@@ -447,13 +473,30 @@ class Trainer:
                 ema_count=n, render=state.render, step=state.step + 1, key=key)
             return new_state, metrics
 
-        return jax.jit(step_fn, donate_argnums=(0,))
+        if n_steps == 1:
+            return jax.jit(step_fn, donate_argnums=(0,))
 
-    def step_fn_for(self, num_rays: int):
-        key = (num_rays, self.net_spec.encode_gather_levels,
+        def multi_fn(state: TrainState, images_u8, poses, intrinsics,
+                     cam_near_far, dyn: StepDynamics, depth_data=None):
+            def body(st, _):
+                d = self._dynamics_traced(st.step)
+                return step_fn(st, images_u8, poses, intrinsics,
+                               cam_near_far, d, depth_data)
+            state, ms = jax.lax.scan(body, state, None, length=n_steps)
+            # last step's metrics, except overflow counters which reduce MAX
+            # over the chunk so a transient budget bust is never hidden
+            last = jax.tree_util.tree_map(lambda a: a[-1], ms)
+            if "pool_overflow" in last:
+                last["pool_overflow"] = jnp.max(ms["pool_overflow"], axis=0)
+            return state, last
+
+        return jax.jit(multi_fn, donate_argnums=(0,))
+
+    def step_fn_for(self, num_rays: int, n_steps: int = 1):
+        key = (num_rays, n_steps, self.net_spec.encode_gather_levels,
                self.net_spec.encode_winsort_levels)
         if key not in self._step_cache:
-            self._step_cache[key] = self._build_step(num_rays)
+            self._step_cache[key] = self._build_step(num_rays, n_steps)
         return self._step_cache[key]
 
     # -------------------------------------------------------------- train loop
@@ -596,17 +639,22 @@ class Trainer:
         images, poses, intrinsics, cam_near_far, depth_data = (
             self._prep_train_arrays(dataset))
         last = None
-        for _ in range(n):
+        spd = max(1, int(getattr(cfg, "steps_per_dispatch", 1)))
+        done = 0
+        while done < n:
             step = int(self.state.step)
             if step % cfg.update_extra_interval == 0:
                 self.update_grid(step)
             nr = (self._bucket(self.num_rays) if cfg.adaptive_num_rays
                   else cfg.num_rays)
-            fn = self.step_fn_for(nr)
+            iv = cfg.update_extra_interval
+            k = max(1, min(spd, n - done, iv - step % iv))
+            fn = self.step_fn_for(nr, k)
             self.state, last = fn(self.state, images, poses, intrinsics,
                                   cam_near_far, self.dynamics(step),
                                   depth_data)
-            if (step + 1) % cfg.update_extra_interval == 0:
+            done += k
+            if (step + k) % cfg.update_extra_interval == 0:
                 if cfg.adaptive_num_rays:
                     npts = int(last["num_points"])
                     if npts > 0:
@@ -639,34 +687,52 @@ class Trainer:
         t0 = time.time()
         last_metrics = None
         start = int(self.state.step)
-        for step in range(start, steps):
+        log_interval = max(1, steps // 10)
+        spd = max(1, int(getattr(cfg, "steps_per_dispatch", 1)))
+
+        def next_boundary(s: int) -> int:
+            """First step index > s at which any host-side hook must run."""
+            cands = [steps]
+            for iv in (cfg.update_extra_interval, log_interval,
+                       eval_interval, save_interval):
+                cands.append((s // iv + 1) * iv)
+            if self._prof_stop_at is not None:
+                cands.append(max(self._prof_stop_at, s + 1))
+            return min(cands)
+
+        step = start
+        while step < steps:
             if step % cfg.update_extra_interval == 0:
                 self.update_grid(step)
 
             nr = self._bucket(self.num_rays) if cfg.adaptive_num_rays else cfg.num_rays
-            fn = self.step_fn_for(nr)
+            # dispatch a scan chunk up to the next host hook (grid update,
+            # adaptive-ray/routing probe, log, eval, checkpoint)
+            k = max(1, min(spd, next_boundary(step) - step))
+            fn = self.step_fn_for(nr, k)
             self.state, last_metrics = fn(
                 self.state, images, poses, intrinsics, cam_near_far,
                 self.dynamics(step), depth_data)
+            step += k
 
-            if self._prof_stop_at is not None and step >= self._prof_stop_at:
+            if self._prof_stop_at is not None and step > self._prof_stop_at:
                 jax.block_until_ready(last_metrics["loss"])
                 jax.profiler.stop_trace()
                 self.log("[INFO] wrote profiler trace")
                 self._prof_stop_at = None
 
-            if (step + 1) % cfg.update_extra_interval == 0:
+            if step % cfg.update_extra_interval == 0:
                 if cfg.adaptive_num_rays:
                     npts = int(last_metrics["num_points"])
                     if npts > 0:
                         self.num_rays = int(round(cfg.num_points / npts * nr))
                 self._update_encode_routing(last_metrics)
 
-            if (step + 1) % max(1, steps // 10) == 0 or step == steps - 1:
+            if step % log_interval == 0 or step == steps:
                 m = {k: float(v) for k, v in last_metrics.items()
                      if np.ndim(v) == 0}
                 self.log(
-                    f"[step {step+1}/{steps}] loss={m['loss']:.6f} "
+                    f"[step {step}/{steps}] loss={m['loss']:.6f} "
                     f"psnr={m['psnr']:.2f} points={int(m['num_points'])} "
                     f"rays={nr} {(time.time()-t0):.1f}s")
                 self.log_scalars({"train/loss": m["loss"],
@@ -674,10 +740,10 @@ class Trainer:
                                   "train/num_points": m["num_points"],
                                   "train/num_rays": nr})
 
-            if valid_dataset is not None and (step + 1) % eval_interval == 0:
-                self.evaluate(valid_dataset, name=f"step{step+1}")
+            if valid_dataset is not None and step % eval_interval == 0:
+                self.evaluate(valid_dataset, name=f"step{step}")
 
-            if (step + 1) % save_interval == 0 or step == steps - 1:
+            if step % save_interval == 0 or step == steps:
                 self.save_checkpoint()
 
         self.log(f"[INFO] training done: {steps} steps, "

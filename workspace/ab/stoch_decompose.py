@@ -52,7 +52,7 @@ from nerf2mesh_tpu.models.renderer import render_train
 from nerf2mesh_tpu.models.network import field_forward
 
 rspec, nspec = tr.render_spec, tr.net_spec
-gspec = nspec.grid_spec
+gspec = nspec.density_grid_spec
 key = jax.random.PRNGKey(0)
 ro = jax.random.normal(key, (NR, 3)) * 0.05 + jnp.asarray([0, 0, 2.5])
 rd = jax.random.normal(jax.random.PRNGKey(1), (NR, 3))
@@ -93,7 +93,7 @@ timeit("sample_rays", f_sample, occ, ro, rd)
 P = tr.pool_size
 print("pool:", P, flush=True)
 params = tr.state.params
-table = params["encoder"]["table"]
+table = params["table"]
 xp = jax.random.uniform(jax.random.PRNGKey(2), (P, 3),
                         minval=0.25, maxval=0.75)
 dp = rd[jax.random.randint(jax.random.PRNGKey(3), (P,), 0, NR)]

@@ -112,12 +112,92 @@ def main():
     dt = time.perf_counter() - t0
 
     rays_per_sec = total_rays / dt
-    print(json.dumps({
+
+    # ---- stage-1 refine steps/sec (the driver metric's third component) ----
+    # A procedural icosphere at capstone scale (~82k faces) stands in for the
+    # exported stage-0 mesh: step cost depends on face/crop counts, not on
+    # the trained weights, so this measures the real stage-1 training step
+    # (rasterize fwd+bwd, offsets/laplacian losses, Adam) at steady state.
+    s1_steps_per_sec = None
+    try:
+        s1_steps_per_sec = _bench_stage1(trainer, ds, images, poses,
+                                         intrinsics, cfg)
+    except Exception as e:  # keep the headline metric robust
+        print(f"[WARN] stage1 bench failed: {e}", file=sys.stderr)
+
+    out = {
         "metric": "stage0_train_rays_per_sec",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
-    }))
+    }
+    if s1_steps_per_sec is not None:
+        out["stage1_refine_steps_per_sec"] = round(s1_steps_per_sec, 2)
+    print(json.dumps(out))
+
+
+def _icosphere(subdiv: int):
+    """Unit icosphere (vectorized subdivision); 20 * 4**subdiv faces."""
+    import numpy as np
+    t = (1.0 + 5 ** 0.5) / 2.0
+    v = np.array([[-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+                  [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+                  [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1]], np.float64)
+    f = np.array([[0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+                  [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+                  [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+                  [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]],
+                 np.int64)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    for _ in range(subdiv):
+        e = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+        e = np.sort(e, axis=1)
+        ue, inv = np.unique(e, axis=0, return_inverse=True)
+        mid = v[ue[:, 0]] + v[ue[:, 1]]
+        mid /= np.linalg.norm(mid, axis=1, keepdims=True)
+        m = inv.reshape(3, -1).T + len(v)     # midpoint ids per face edge
+        v = np.concatenate([v, mid])
+        f = np.concatenate([
+            np.stack([f[:, 0], m[:, 0], m[:, 2]], 1),
+            np.stack([f[:, 1], m[:, 1], m[:, 0]], 1),
+            np.stack([f[:, 2], m[:, 2], m[:, 1]], 1),
+            m])
+    return v.astype(np.float32), f.astype(np.int32)
+
+
+def _bench_stage1(trainer, ds, images, poses, intrinsics, cfg,
+                  warmup=4, steps=16):
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf2mesh_tpu.meshing.io import write_ply
+
+    mdir = os.path.join(cfg.workspace, "mesh_stage0")
+    os.makedirs(mdir, exist_ok=True)
+    mv, mf = _icosphere(6)                    # 81,920 faces ~ capstone scale
+    write_ply(os.path.join(mdir, "mesh_0.ply"), mv * 0.5, mf)
+    trainer.setup_stage1(ds)
+    fn = trainer._build_stage1_step()
+    mvps = jnp.asarray(ds.mvps)
+
+    state = trainer.state
+    te, tc = trainer.tri_errors, trainer.tri_counts
+    for s in range(warmup):
+        state, te, tc, m = fn(state, te, tc, trainer.mesh_v, trainer.mesh_f,
+                              trainer.mesh_edges, trainer.mesh_deg,
+                              trainer.mesh_pairs, trainer.s1_counts, images,
+                              poses, mvps, intrinsics, trainer.dynamics(s))
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for s in range(warmup, warmup + steps):
+        state, te, tc, m = fn(state, te, tc, trainer.mesh_v, trainer.mesh_f,
+                              trainer.mesh_edges, trainer.mesh_deg,
+                              trainer.mesh_pairs, trainer.s1_counts, images,
+                              poses, mvps, intrinsics, trainer.dynamics(s))
+    float(m["loss"])
+    return steps / (time.perf_counter() - t0)
 
 
 if __name__ == "__main__":

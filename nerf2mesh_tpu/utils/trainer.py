@@ -219,8 +219,13 @@ class Trainer:
           colmap_provider.py:505-522).
         """
         cfg, rspec, nspec = self.cfg, self.render_spec, self.net_spec
-        if cfg.stochastic_fine:
-            # train step only — eval/grid/export paths keep exact trilinear
+        if cfg.stochastic_fine and not cfg.sdf:
+            # train step only — eval/grid/export paths keep exact trilinear.
+            # NOT in SDF mode: NeuS normals are 6-point finite differences of
+            # the raw field (network.py finite_difference_normal, reference
+            # network.py:111-156); one-corner stochastic encoding makes those
+            # 6 queries mutually inconsistent and wrecks the eikonal/normal
+            # signal (round-2 regression: tests/test_sdf_e2e.py).
             nspec = dataclasses.replace(nspec, encode_stochastic=True)
         B, H, W, C = images_u8.shape
         k_img, k_pix, k_bg, k_march, k_sd = jax.random.split(key, 5)
@@ -689,6 +694,13 @@ class Trainer:
         start = int(self.state.step)
         log_interval = max(1, steps // 10)
         spd = max(1, int(getattr(cfg, "steps_per_dispatch", 1)))
+        if min(eval_interval, save_interval) < spd:
+            # crossed() fires once per chunk even when a chunk spans several
+            # interval boundaries, so short runs with large n_eval/n_ckpt get
+            # fewer hooks than requested
+            self.log(f"[WARN] eval/save interval ({eval_interval}/"
+                     f"{save_interval}) < steps_per_dispatch ({spd}): hooks "
+                     f"fire at most once per {spd}-step chunk")
 
         def next_boundary(s: int) -> int:
             """First step index > s at which a host-side hook MUST run.
@@ -754,7 +766,11 @@ class Trainer:
 
             if valid_dataset is not None and crossed(prev_step, step,
                                                      eval_interval):
-                self.evaluate(valid_dataset, name=f"step{step}")
+                # name by the crossed boundary, not the chunk end, so eval
+                # artifact names are step-aligned across runs with different
+                # steps_per_dispatch (actual step may be up to spd-1 later)
+                bstep = (step // eval_interval) * eval_interval
+                self.evaluate(valid_dataset, name=f"step{bstep}")
 
             if crossed(prev_step, step, save_interval) or step == steps:
                 self.save_checkpoint()

@@ -23,6 +23,13 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute e2e tests (deselect with `-m 'not slow'` for the "
+        "fast tier; the 1-core host takes ~45 min for the full suite)")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

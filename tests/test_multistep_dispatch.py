@@ -76,9 +76,28 @@ def test_traced_dynamics_matches_host(tmp_path):
 
 
 def test_train_loop_chunked_runs(tmp_path):
-    """train() with steps_per_dispatch=16 must land exactly on hook
-    boundaries and finish all iters."""
+    """train() with steps_per_dispatch=16 must finish all iters (log/eval/
+    save fire on boundary CROSSING after each chunk, not by cutting chunk
+    boundaries — chunk length stays constant to avoid fresh scan compiles)."""
     tr, ds = _setup(tmp_path, steps_per_dispatch=16, iters=40)
     out = tr.train(ds, None, max_steps=40)
     assert int(tr.state.step) == 40
     assert np.isfinite(float(out["loss"]))
+
+
+def test_chunked_hooks_fire_once_per_crossing(tmp_path, monkeypatch):
+    """Crossing semantics: with iters=64, spd=16, eval_interval=32 (n_eval=2)
+    eval fires exactly twice (steps 32, 64) with boundary-aligned names, and
+    exactly once when a chunk ends exactly on a multiple (no double-fire).
+    save_interval=16 -> 4 saves."""
+    tr, ds = _setup(tmp_path, steps_per_dispatch=16, iters=64)
+    tr.cfg = dataclasses.replace(tr.cfg, n_eval=2, n_ckpt=4)
+    evals, saves = [], []
+    monkeypatch.setattr(tr, "evaluate",
+                        lambda dataset, name=None, **kw: evals.append(name))
+    monkeypatch.setattr(tr, "save_checkpoint",
+                        lambda *a, **kw: saves.append(int(tr.state.step)))
+    # evaluate is monkeypatched, so the train split stands in as valid_ds
+    tr.train(ds, ds, max_steps=64)
+    assert evals == ["step32", "step64"]
+    assert len(saves) == 4

@@ -1,4 +1,3 @@
-import sys; sys.path.insert(0, "/root/repo")
 """Trimmed capstone-96aa: validate the session-4 silhouette-AA stack
 (ssaa=3 antialiased GT + alpha_mode="aa" train/eval) within one session.
 
@@ -11,6 +10,10 @@ Gate read: stage-1 eval vs stage-0 eval on the SAME (AA) GT; round-2
 session-3 state was stage-0 33.1 / stage-1 27.25 with 86% of the gap in
 the silhouette rim band.
 """
+import sys
+
+sys.path.insert(0, "/root/repo")
+
 import os
 import time
 

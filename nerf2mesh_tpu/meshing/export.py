@@ -27,7 +27,13 @@ def _query_density_grid(trainer, resolution: int, bound: float = 1.0,
     """Chunked density query on a resolution^3 grid over [-bound, bound]^3."""
     from ..models.network import density
 
-    params = trainer.state.ema_params
+    # LIVE weights, matching the reference: save_mesh marches the model's
+    # current parameters (utils.py:892-960) — ema.copy_to() wraps only
+    # eval/test steps (utils.py:1103-1112).  At convergence EMA ~= live, but
+    # in short runs the 0.95-decay EMA lags ~20 steps and systematically
+    # shifts the marched zero level-set (measured on the SDF e2e: live
+    # frac_near 0.77 vs EMA 0.67 at 250 steps).
+    params = trainer.state.params
     nspec = trainer.net_spec
     chunk = 2 ** 17
 

@@ -118,6 +118,38 @@ def test_fused_eval_matches_host_loop(scene_root, workspace):
     np.testing.assert_allclose(a["depth"], b["depth"], atol=5e-3)
 
 
+@pytest.mark.slow
+def test_stage1_quality_tracks_stage0(scene_root, workspace):
+    """Regression gate for the round-2 silhouette failure: a stage-1 probe
+    must not lose more than 2 dB against stage-0 on the same val GT (the
+    reference's stage 1 IMPROVES on stage 0, renderer.py:816-921; round-2
+    shipped -5.9 dB with the loss concentrated in a ~1px silhouette rim).
+    Chip-scale version of this gate: workspace/runs RESULTS.md capstone."""
+    from nerf2mesh_tpu.data.provider import load_nerf_dataset
+    from nerf2mesh_tpu.utils.metrics import PSNRMeter
+    from nerf2mesh_tpu.utils.trainer import Trainer
+
+    cfg0 = _cfg(scene_root, workspace, ["--iters", "300"])
+    ds_val = load_nerf_dataset(cfg0, "val")
+    t0 = Trainer(cfg0)
+    assert t0.load_checkpoint(stage=0)
+    t0.metrics = [PSNRMeter()]
+    r0 = t0.evaluate(ds_val, name="gate_s0")
+
+    cfg1 = _cfg(scene_root, workspace,
+                ["--iters", "150", "--stage", "1", "--s1_alpha_eval", "aa"])
+    ds = load_nerf_dataset(cfg1, "train")
+    t1 = Trainer(cfg1)
+    t1.setup_stage1(ds)                      # before restore (main.py order)
+    if not t1.load_checkpoint():
+        assert t1.load_checkpoint(stage=0)
+    t1.train_stage1(ds)
+    t1.metrics = [PSNRMeter()]
+    r1 = t1.evaluate(ds_val, name="gate_s1", stage1=True)
+    assert r1["PSNR"] >= r0["PSNR"] - 2.0, \
+        f"stage-1 {r1['PSNR']:.2f} dB vs stage-0 {r0['PSNR']:.2f} dB"
+
+
 def test_checkpoint_nonstrict_load(tmp_path):
     """Schema-drifted checkpoints load partially with loud warnings
     (reference utils.py:1407-1473 non-strict load)."""

@@ -10,8 +10,8 @@ from nerf2mesh_tpu.data.provider import load_nerf_dataset
 from nerf2mesh_tpu.utils.trainer import Trainer
 
 cfg = dataclasses.replace(
-    Config(path="/tmp/bench_scene96aa"), bound=1.0, scale=0.8, dt_gamma=0.0,
-    grid_size=128, workspace="/tmp/ws96aa").finalize()
+    Config(path="/root/repo/workspace/runs/scene96aa"), bound=1.0, scale=0.8, dt_gamma=0.0,
+    grid_size=128, workspace="/root/repo/workspace/runs/ws96aa").finalize()
 ds = load_nerf_dataset(cfg, "val")
 tr = Trainer(cfg)
 assert tr.load_checkpoint(stage=0)

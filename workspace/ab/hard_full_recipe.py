@@ -17,14 +17,14 @@ import time
 from nerf2mesh_tpu.data.synthetic import HardScene, generate_synthetic_dataset
 from nerf2mesh_tpu.main import main
 
-root = "/tmp/hard_scene_full"
+root = "/root/repo/workspace/runs/hard_scene"
 if not os.path.exists(os.path.join(root, "transforms_train.json")):
     t = time.time()
     generate_synthetic_dataset(root, scene=HardScene(), H=256, W=256,
                                n_train=100, n_val=4, n_test=8, ssaa=3)
     print("HARD GT generated %.0fs" % (time.time() - t), flush=True)
 
-ws = "/tmp/ws_hard_full"
+ws = "/root/repo/workspace/runs/ws_hard"
 t0 = time.time()
 main([root, "--workspace", ws,
       "--bound", "1", "--scale", "0.8", "--dt_gamma", "0",

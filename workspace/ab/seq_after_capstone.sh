@@ -1,9 +1,9 @@
 #!/bin/bash
 # Chains the quick chip measurements after the capstone run (PID in
-# /tmp/cap96aa.pid) exits.  Long runs (hard_full_recipe, ablations) are
+# /tmp/r3cap.pid) exits.  Long runs (hard_full_recipe, ablations) are
 # launched manually afterwards so results can be reviewed in between.
 set -u
-PID=$(cat /tmp/cap96aa.pid)
+PID=$(cat /tmp/r3cap.pid)
 while kill -0 "$PID" 2>/dev/null; do sleep 30; done
 echo "=== capstone exited, starting measurement queue $(date -u)"
 cd /tmp

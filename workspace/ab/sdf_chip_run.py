@@ -1,0 +1,79 @@
+"""SDF (NeuS) mode at chip scale (VERDICT r2 #6).
+
+Runs the full --sdf recipe (reference main.py:138-153: NeuS alpha
+compositing, double-sphere pretrain via --ckpt scratch, progressive
+max_level, remesh-only stage-1 refine) on the procedural sphere scene to
+convergence, then reports:
+  - stage-0 test PSNR,
+  - chamfer-style |analytic sdf| stats of the exported mesh vertices,
+  - stage-1 final eval PSNR (remesh-only refine).
+Results snapshot into workspace/validation/round3/sdf_chip.json so a
+container reset cannot lose the evidence.
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+
+from nerf2mesh_tpu.data.synthetic import SphereScene, generate_synthetic_dataset
+from nerf2mesh_tpu.main import main
+
+root = "/root/repo/workspace/runs/sdf_scene"
+ws = "/root/repo/workspace/runs/ws_sdf"
+snap = "/root/repo/workspace/validation/round3"
+os.makedirs(snap, exist_ok=True)
+
+if not os.path.exists(os.path.join(root, "transforms_train.json")):
+    t = time.time()
+    generate_synthetic_dataset(root, H=256, W=256, n_train=64, n_val=3,
+                               n_test=4, ssaa=3)
+    print("SDF GT generated %.0fs" % (time.time() - t), flush=True)
+
+SCALE = 0.8
+t0 = time.time()
+if not os.path.exists(os.path.join(ws, "mesh_stage0", "mesh_0.ply")):
+    main([root, "--workspace", ws, "--sdf", "--ckpt", "scratch",
+          "--bound", "1", "--scale", str(SCALE), "--dt_gamma", "0",
+          "--iters", "3000", "--num_rays", "4096", "--num_points", "262144",
+          "--grid_size", "128", "--diffuse_step", "400",
+          "--random_image_batch", "--mark_untrained", "--adaptive_num_rays",
+          "--mesh_visibility_culling",
+          "--mcubes_reso", "256", "--decimate_target", "100000",
+          "--n_eval", "2", "--n_ckpt", "2", "--test_no_video"])
+    print("SDF STAGE0 DONE %.0fs" % (time.time() - t0), flush=True)
+
+# chamfer probe: exported verts vs the analytic scene SDF
+from nerf2mesh_tpu.meshing.io import read_ply  # noqa: E402
+
+v, f = read_ply(os.path.join(ws, "mesh_stage0", "mesh_0.ply"))
+scene = SphereScene()
+d = np.abs(scene.sdf(np.asarray(v, np.float32) / SCALE) * SCALE)
+stats = {
+    "verts": int(len(v)), "faces": int(len(f)),
+    "mean_abs_sdf": float(d.mean()),
+    "p90_abs_sdf": float(np.percentile(d, 90)),
+    "frac_within_0.01": float((d < 0.01).mean()),
+    "frac_within_0.03": float((d < 0.03).mean()),
+}
+print("SDF chamfer probe:", json.dumps(stats), flush=True)
+
+# stage 1: remesh-only refine (the --sdf macro zeroes decimate/subdivide)
+main([root, "--workspace", ws, "--sdf",
+      "--stage", "1", "--bound", "1", "--scale", str(SCALE),
+      "--dt_gamma", "0", "--iters", "1000", "--lr_vert", "3e-4", "--refine",
+      "--texture_size", "1024", "--ssaa", "1", "--s1_alpha_eval", "aa",
+      "--n_eval", "2", "--n_ckpt", "2", "--test_no_video"])
+print("SDF ALL DONE %.0fs" % (time.time() - t0), flush=True)
+
+with open(os.path.join(snap, "sdf_chip.json"), "w") as fh:
+    json.dump(stats, fh, indent=1)
+for name in ("log_ngp.txt", "metrics.jsonl"):
+    p = os.path.join(ws, name)
+    if os.path.exists(p):
+        shutil.copy(p, os.path.join(snap, f"sdf_chip_{name}"))

@@ -184,6 +184,57 @@ def f_step_grad(salt, params, occ, ro, rd):
 
 timeit("render_train fwd+bwd", f_step_grad, params, occ, ro, rd)
 
+# ---- finer attribution: full loss fwd+bwd (no optimizer), TV on/off ----
+dyn100 = tr.dynamics(100)
+
+
+def f_loss_grad(salt, params):
+    def loss(p):
+        l, _ = tr._loss_and_metrics(p, tr.state.render, key, images, poses,
+                                    intr, None, dyn100, NR)
+        return l + salt * 0.0
+    l, g = jax.value_and_grad(loss)(params)
+    return l + jax.tree_util.tree_leaves(g)[0].ravel()[0]
+
+timeit("loss_and_metrics fwd+bwd", f_loss_grad, params)
+
+_saved_tv = tr.cfg.lambda_tv
+tr.cfg = dataclasses.replace(tr.cfg, lambda_tv=0.0)
+timeit("loss_and_metrics fwd+bwd (TV off)", f_loss_grad, params)
+tr.cfg = dataclasses.replace(tr.cfg, lambda_tv=_saved_tv)
+
+# optimizer + EMA alone: apply a fixed grad tree through optax + the ramp
+opt = tr.optimizer
+ost = tr.state.opt_state
+g_tree = jax.tree_util.tree_map(jnp.ones_like, params)
+
+
+def f_opt(salt, params, ost):
+    g = jax.tree_util.tree_map(lambda x: x + salt * 1e-9, g_tree)
+    updates, ost2 = opt.update(g, ost, params)
+    p2 = jax.tree_util.tree_map(lambda a, b: a + b, params, updates)
+    ema = jax.tree_util.tree_map(lambda e, p: e * 0.95 + p * 0.05,
+                                 tr.state.ema_params, p2)
+    return (jax.tree_util.tree_leaves(p2)[0].ravel()[0]
+            + jax.tree_util.tree_leaves(ema)[0].ravel()[0]
+            + jax.tree_util.tree_leaves(ost2)[0].ravel()[0] * 0.0)
+
+timeit("optax+EMA alone", f_opt, params, ost)
+
+# pool compaction alone: nonzero(size=P) + the 3 scatters back to dense
+flat_valid = jax.random.uniform(jax.random.PRNGKey(9),
+                                (NR * rspec.num_fine,)) < 0.12
+
+
+def f_pool(salt, fv):
+    (ids,) = jnp.nonzero(fv, size=P, fill_value=fv.shape[0])
+    vals = jnp.arange(P, dtype=jnp.float32) + salt
+    dense = jnp.zeros((fv.shape[0],)).at[ids].set(vals, mode="drop")
+    kept = jnp.zeros((fv.shape[0],)).at[ids].set(1.0, mode="drop")
+    return dense.sum() + kept.sum()
+
+timeit("pool nonzero+scatters", f_pool, flat_valid)
+
 # the REAL step (losses + Adam + EMA + metrics), pipelined
 for _ in range(2):
     state, m = fn(state, images, poses, intr, None, tr.dynamics(100))
@@ -193,3 +244,14 @@ for i in range(K):
     state, m = fn(state, images, poses, intr, None, tr.dynamics(100 + i))
 float(m["loss"])
 print(f"full step_fn: {(time.perf_counter()-t0)/K*1e3:.1f} ms", flush=True)
+
+# scan-chunked step (the shipped dispatch path): per-step inside scan
+fn16 = tr.step_fn_for(NR, 16)
+state, m = fn16(state, images, poses, intr, None, tr.dynamics(200))
+float(m["loss"])
+t0 = time.perf_counter()
+for i in range(2):
+    state, m = fn16(state, images, poses, intr, None, tr.dynamics(216 + 16 * i))
+float(m["loss"])
+print(f"scan16 step_fn: {(time.perf_counter()-t0)/32*1e3:.1f} ms/step",
+      flush=True)

@@ -61,12 +61,19 @@ def get_rays(poses, intrinsics, H: int, W: int, indices=None):
 
     dirs = pixel_dirs_cam(ii, jj, intrinsics)  # [N, 3]
 
+    # precision=HIGHEST: TPU matmuls default to bf16 inputs, which quantizes
+    # ray directions to ~2^-9 (measured: up to 0.26 px of view-dependent warp
+    # at 256^2).  Stage 0 then learns a warped field that stage 1's exact
+    # rasterizer contradicts — the round-2 "±0.005 surface noise / ~1 px rim"
+    # signature.  These 3x3 rotations are tiny; full fp32 is free.
     rot = poses[:, :3, :3]  # [B, 3, 3]
     if rot.shape[0] == 1:
-        rays_d = dirs @ rot[0].T
+        rays_d = jnp.einsum("nc,rc->nr", dirs, rot[0],
+                            precision=jax.lax.Precision.HIGHEST)
         rays_o = jnp.broadcast_to(poses[0, :3, 3], rays_d.shape)
     else:
-        rays_d = jnp.einsum("nc,nrc->nr", dirs, rot)
+        rays_d = jnp.einsum("nc,nrc->nr", dirs, rot,
+                            precision=jax.lax.Precision.HIGHEST)
         rays_o = poses[:, :3, 3]
 
     out = {"rays_o": rays_o, "rays_d": rays_d}

@@ -48,9 +48,15 @@ class RasterSpec:
 
 
 def transform_clip(verts: jax.Array, mvp: jax.Array) -> jax.Array:
-    """[V, 3] world -> [V, 4] clip (renderer.py:858)."""
+    """[V, 3] world -> [V, 4] clip (renderer.py:858).
+
+    precision=HIGHEST: the TPU's default bf16 matmul quantizes clip coords to
+    ~2^-9 relative — ±0.3 px of per-vertex screen wobble that antialiased
+    silhouettes cannot survive (the stage-1 rim band).  A [V,4]x[4,4] matmul
+    at fp32 is negligible."""
     v1 = jnp.concatenate([verts, jnp.ones_like(verts[:, :1])], axis=-1)
-    return v1 @ mvp.T
+    return jnp.einsum("vk,ck->vc", v1, mvp,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 @partial(jax.jit, static_argnames=("H", "W", "spec"))
@@ -432,7 +438,11 @@ def interpolate(attrs: jax.Array, rast: Dict[str, jax.Array],
     a = jnp.take(attrs, corner.reshape(-1), axis=0).reshape(
         corner.shape[0], 3, -1)                                     # [P, 3, C]
     b = rast["bary"].reshape(-1, 3)
-    out = jnp.einsum("pkc,pk->pc", a, b)
+    # HIGHEST: bf16 inputs would round interpolated world positions (and the
+    # barycentrics themselves) to ~2^-9 — half a finest-hash-cell of noise on
+    # every field sample the rasterizer feeds (see transform_clip).
+    out = jnp.einsum("pkc,pk->pc", a, b,
+                     precision=jax.lax.Precision.HIGHEST)
     out = jnp.where(rast["covered"].reshape(-1, 1), out, 0.0)
     return out.reshape(*tri_id.shape, -1)
 

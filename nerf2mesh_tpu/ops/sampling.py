@@ -223,9 +223,14 @@ def sample_rays(
     chosen = (cdf[:, None, :] >= s[:, :, None]) & (cdf0[:, None, :] < s[:, :, None])
     oh = chosen.astype(f32)                                    # [N, Kf, Kc]
 
-    seg_t0 = jnp.einsum("nfc,nc->nf", oh, t0c)
-    seg_dt = jnp.einsum("nfc,nc->nf", oh, dtc)   # == occupied length of chosen seg
-    seg_cdf0 = jnp.einsum("nfc,nc->nf", oh, cdf0)
+    # HIGHEST: these einsums SELECT t-values via a one-hot; the TPU's default
+    # bf16 matmul would quantize the selected t0/cdf to ~2^-9 relative —
+    # ~0.004-0.008 world units of noise on every sample position at t~2,
+    # the measured magnitude of the stage-0 surface noise.
+    hi = jax.lax.Precision.HIGHEST
+    seg_t0 = jnp.einsum("nfc,nc->nf", oh, t0c, precision=hi)
+    seg_dt = jnp.einsum("nfc,nc->nf", oh, dtc, precision=hi)   # == occupied length of chosen seg
+    seg_cdf0 = jnp.einsum("nfc,nc->nf", oh, cdf0, precision=hi)
     picked = jnp.sum(oh, axis=-1) > 0                          # [N, Kf]
 
     frac = jnp.where(seg_dt > 0, (s - seg_cdf0) / jnp.maximum(seg_dt, 1e-12), 0.0)
@@ -246,8 +251,10 @@ def sample_rays(
         consumed = jnp.minimum(Kf * sd[:, 0], total_len[:, 0])  # [N]
         ch = ((cdf >= consumed[:, None]) &
               (cdf0 < consumed[:, None])).astype(f32)           # [N, Kc]
-        e_t0 = jnp.einsum("nc,nc->n", ch, t0c)
-        e_cdf0 = jnp.einsum("nc,nc->n", ch, cdf0)
+        e_t0 = jnp.einsum("nc,nc->n", ch, t0c,
+                          precision=jax.lax.Precision.HIGHEST)
+        e_cdf0 = jnp.einsum("nc,nc->n", ch, cdf0,
+                            precision=jax.lax.Precision.HIGHEST)
         exhausted = Kf * sd[:, 0] >= total_len[:, 0]
         t_exit = e_t0 + (consumed - e_cdf0)
         # budget exhausted the remaining occupied space -> ray is done

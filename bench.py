@@ -123,7 +123,9 @@ def main():
         s1_steps_per_sec = _bench_stage1(trainer, ds, images, poses,
                                          intrinsics, cfg)
     except Exception as e:  # keep the headline metric robust
+        import traceback
         print(f"[WARN] stage1 bench failed: {e}", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
 
     out = {
         "metric": "stage0_train_rays_per_sec",

@@ -74,6 +74,13 @@ class Config:
     # only; "soft" = signed-distance sigmoid (round-1/2 legacy).
     s1_alpha: str = "aa"
     s1_alpha_eval: str = "hard"
+    # stage-1 face budget as supersampled-pixels per face (2*H*W*ssaa^2 /
+    # this); keeps triangles big enough that the antialias edge-crossing
+    # gradient can train vertex offsets.  0 disables (raster cap only).
+    s1_px_per_face: float = 6.0
+    # vertex-offset lr starts at s1_vert_boost*lr_vert and decays to lr_vert
+    # over the run (movement budget ~ reference's 30k iters at lr_vert)
+    s1_vert_boost: float = 30.0
     pos_gradient_boost: float = 1.0
     max_steps: int = 1024
     update_extra_interval: int = 16

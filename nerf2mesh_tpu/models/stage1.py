@@ -89,7 +89,8 @@ def load_stage1_mesh(workspace: str, cascades: int, mesh_path: str = "",
                      use_updated: bool = True,
                      max_screen_edge: float = 0.0,
                      poses: Optional[np.ndarray] = None,
-                     max_faces: int = 0) -> Stage1Mesh:
+                     max_faces: int = 0,
+                     face_budget: int = 0) -> Stage1Mesh:
     """Load cascade meshes from mesh_stage0/ (renderer.py:130-153).
 
     max_screen_edge is the world-edge bound AT UNIT DEPTH (frag_px/fl); the
@@ -97,6 +98,17 @@ def load_stage1_mesh(workspace: str, cascades: int, mesh_path: str = "",
     (round 1 assumed z=1 while the scene sat at z~2.5, exploding the face
     count 42x past the raster budget).  max_faces caps the per-cascade face
     count after subdivision.
+
+    face_budget > 0 decimates the inner (cascade-0) BASE mesh down to the
+    budget before raster subdivision.  This is the screen-space face-size
+    control: the analytic-AA silhouette gradient (the only photometric
+    channel into vertex offsets, rasterizer.antialias) needs the winner
+    triangle's edges to actually cross between adjacent pixel centers, which
+    dies when faces are deeply sub-pixel.  The reference trains ~1e5 faces at
+    800-1600 px (>= ~10 visible px/face, nvdiffrast antialias contract,
+    renderer.py:884-887); exporting reference-scale face counts onto this
+    pipeline's 256 px training images left ~0.4 px/face and froze the rim
+    (round-3 s1_cpu_debug: rim coverage 0.82 vs GT alpha 0.49, untrainable).
     """
     from ..meshing.io import read_ply
 
@@ -114,6 +126,12 @@ def load_stage1_mesh(workspace: str, cascades: int, mesh_path: str = "",
         else:
             p = os.path.join(base, f"mesh_{cas}.ply")
         v, f = read_ply(p)
+        if (face_budget > 0 and cas == 0 and not is_updated
+                and len(f) > face_budget):
+            from ..meshing import meshops
+            print(f"[load_stage1_mesh] decimating cascade 0 to the "
+                  f"screen-resolution face budget: {len(f)} -> {face_budget}")
+            v, f = meshops.decimate_mesh(v, f, target=face_budget)
         # subdivide only the base mesh so the raster fragment-block bound
         # holds; updated meshes already carry refined topology and must stay
         # byte-stable across reloads (checkpointed offsets index them).

@@ -80,8 +80,22 @@ def make_optimizer(cfg: Config):
     sched = lr_schedule(cfg)
     base = optax.adam(learning_rate=sched, eps=1e-15)
     slow = optax.adam(learning_rate=lambda it: sched(it) * 0.1, eps=1e-15)
-    vert = optax.adam(
-        learning_rate=lambda it: sched(it) * (cfg.lr_vert / cfg.lr), eps=1e-15)
+
+    def vert_sched(it):
+        # Exponential decay from s1_vert_boost*lr_vert down to lr_vert (no
+        # warmup).  Adam moves offsets ~lr per consistent step, so the total
+        # silhouette movement budget is ~integral(lr) over the run; the
+        # reference amortizes lr_vert=1e-4 over 30k iters (main.py:221,243),
+        # and a flat 1e-4 over our 300-1500-iter schedules leaves the
+        # marching-cubes rim dilation (~1-2 voxels) unreachable (round-3
+        # s1_cpu_debug: rim coverage froze at 0.77 vs GT 0.52; 30x lr closed
+        # it and gained +4-6 dB full-frame).
+        it = jnp.asarray(it, jnp.float32)
+        frac = jnp.clip(it / max(float(cfg.iters), 1.0), 0.0, 1.0)
+        boost = max(float(cfg.s1_vert_boost), 1.0)
+        return cfg.lr_vert * boost ** (1.0 - frac)
+
+    vert = optax.adam(learning_rate=vert_sched, eps=1e-15)
     return optax.multi_transform(
         {"base": base, "slow": slow, "vert": vert}, label_fn)
 
@@ -1039,13 +1053,25 @@ class Trainer:
         want = self.cfg.s1_crop if self.cfg.s1_crop > 0 else 256
         self._s1_crop = int(min(want, dataset.H, dataset.W))
         fl = float(dataset.intrinsics_for(0)[0])
+        ss = max(int(self.cfg.ssaa), 1)
+        # screen-resolution face budget: keep faces a few supersampled pixels
+        # big so the antialias edge-crossing gradient (the only photometric
+        # vertex-offset channel) stays live — see load_stage1_mesh docstring.
+        # ~half the faces are front-facing, and the object covers less than
+        # the full frame, so visible px/face lands below s1_px_per_face.
+        if self.cfg.s1_px_per_face > 0:
+            self._s1_face_budget = int(min(
+                2.0 * dataset.H * dataset.W * ss * ss
+                / self.cfg.s1_px_per_face, 3 * 2 ** 16))
+        else:
+            self._s1_face_budget = 3 * 2 ** 16
         # ssaa multiplies the effective focal length at raster resolution
-        max_edge = self._raster_spec().frag * 0.8 / (
-            fl * max(int(self.cfg.ssaa), 1))
+        max_edge = self._raster_spec().frag * 0.8 / (fl * ss)
         self.stage1_mesh = load_stage1_mesh(
             self.workspace, self.render_spec.cascades, mesh_path=self.cfg.mesh,
             use_updated=self.cfg.ckpt != "scratch", max_screen_edge=max_edge,
-            poses=dataset.poses, max_faces=3 * 2 ** 16)
+            poses=dataset.poses, max_faces=self._s1_face_budget,
+            face_budget=self._s1_face_budget)
         self.log(f"[INFO] stage1 mesh: v={self.stage1_mesh.num_vertices} "
                  f"f={self.stage1_mesh.num_faces}")
         self._reset_stage1_params()
@@ -1285,7 +1311,8 @@ class Trainer:
                     np.asarray(self.state.params["vertices_offsets"])[:v_real],
                     np.asarray(self.tri_errors)[:f_real],
                     np.asarray(self.tri_counts)[:f_real],
-                    cfg, self.workspace)
+                    cfg, self.workspace,
+                    max_faces=getattr(self, "_s1_face_budget", 0))
                 self._reset_stage1_params()
 
             if self._stage1_step_fn is None:
@@ -1329,10 +1356,15 @@ class Trainer:
 
         # mesh buffers are bucket-padded args: the wrapper survives refines
         # and jax.jit's shape cache avoids recompiles within a bucket
+        # physically supersampled eval: render at ssaa and average-pool, so
+        # the reported silhouette is the mesh's true area coverage (the web
+        # renderer consumes the mesh with native-res MSAA; a 1-spp aa eval
+        # under-reads rim coverage by ~0.12 alpha — round-3 s1_cov_probe)
+        ss = max(int(self.cfg.ssaa), 1)
         cache = getattr(self, "_s1_eval_cache", None)
         if cache is None:
             cache = self._s1_eval_cache = {}
-        cache_key = (rspec, H, W)
+        cache_key = (rspec, H, W, ss)
         if cache_key not in cache:
             @jax.jit
             def _eval(params, mesh_v, mesh_f, f_real, mvp, origin, dirs, bg):
@@ -1340,7 +1372,8 @@ class Trainer:
                     params, params["vertices_offsets"], mesh_v, mesh_f,
                     mvp, origin, dirs, bg, nspec, rspec, H, W,
                     shading="full", contracted=self.cfg.contract,
-                    alpha_mode=self.cfg.s1_alpha_eval, f_valid=f_real)
+                    alpha_mode=self.cfg.s1_alpha_eval, f_valid=f_real,
+                    ssaa=ss)
             cache[cache_key] = _eval
         _eval_fn = cache[cache_key]
 
@@ -1349,15 +1382,16 @@ class Trainer:
         wsum = np.zeros((H, W), np.float32)
         overflow = 0
         fx, fy, cx, cy = np.asarray(intrinsics)
-        bg = jnp.full((Cp, Cp, 3), bg_color)
+        Cs = Cp * ss
+        bg = jnp.full((Cs, Cs, 3), bg_color)
+        sub = (np.arange(Cs) + 0.5) / ss
         for y0 in range(0, H, Cp):
             for x0 in range(0, W, Cp):
-                jj, ii = np.meshgrid(np.arange(Cp) + y0 + 0.5,
-                                     np.arange(Cp) + x0 + 0.5, indexing="ij")
+                jj, ii = np.meshgrid(y0 + sub, x0 + sub, indexing="ij")
                 dcam = np.stack([(ii - cx) / fx, -(jj - cy) / fy,
                                  -np.ones_like(ii)], -1)
                 dirs = (dcam.reshape(-1, 3) @ np.asarray(pose)[:3, :3].T
-                        ).reshape(Cp, Cp, 3).astype(np.float32)
+                        ).reshape(Cs, Cs, 3).astype(np.float32)
                 out = _eval_fn(params, self.mesh_v, self.mesh_f,
                                self.s1_counts[1], jnp.asarray(mvp),
                                jnp.asarray([y0, x0]),

@@ -54,10 +54,13 @@ if os.environ.get("CAPV2_STAGE0_ONLY", "0") == "1":
     print("V2 stage-0 only (CAPV2_STAGE0_ONLY=1); exiting", flush=True)
     sys.exit(0)
 
+# stage 1 uses the toy-gate-validated config (s1_cpu_debug, round-3): default
+# ssaa=2 (drives the face budget AND the supersampled eval), default
+# lr_vert=1e-4 with the boosted decaying schedule (s1_vert_boost=30).
 main([root, "--workspace", ws,
       "--stage", "1", "--bound", "1", "--scale", "0.8", "--dt_gamma", "0",
-      "--iters", "1500", "--lr_vert", "3e-4", "--refine",
-      "--texture_size", "1024", "--ssaa", "1", "--s1_alpha_eval", "aa",
+      "--iters", "1500", "--refine",
+      "--texture_size", "1024", "--s1_alpha_eval", "aa",
       "--n_eval", "4", "--n_ckpt", "4", "--test_no_video"])
 print("V2 CAP ALL DONE %.0fs" % (time.time() - t0), flush=True)
 snapshot("stage1")

@@ -27,6 +27,7 @@ from nerf2mesh_tpu.config import parse_args
 ROOT = "/root/repo/workspace/runs/s1dbg_scene"
 WS = "/root/repo/workspace/runs/s1dbg_ws"
 S1_ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+EXTRA = sys.argv[2:]          # extra cli flags forwarded to the stage-1 cfg
 
 
 def build_scene():
@@ -89,7 +90,7 @@ def main():
         split_metrics(out["image"], ds_val.images[i], f"s0 view{i}")
 
     cfg1 = cfg_for(["--iters", str(S1_ITERS), "--stage", "1",
-                    "--s1_alpha_eval", "aa"])
+                    "--s1_alpha_eval", "aa", *EXTRA])
     t1 = Trainer(cfg1)
     ds1 = load_nerf_dataset(cfg1, "train")
     t1.setup_stage1(ds1)

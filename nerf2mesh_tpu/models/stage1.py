@@ -239,7 +239,13 @@ def render_stage1_crop(
     Cp = raster_spec.crop
     s = max(int(ssaa), 1)
     if s > 1:
-        raster_spec = dataclasses.replace(raster_spec, crop=Cp * s)
+        # the live-fragment budget scales with supersampled pixel count:
+        # at ssaa=2 a 256^2 crop rasterizes 512^2 = 4x the fragments, and an
+        # unscaled max_frags silently drops ~30-50% of rim fragments at
+        # capstone face counts (ws96v2 run: 80-234k dropped/step -> holes)
+        raster_spec = dataclasses.replace(raster_spec, crop=Cp * s,
+                                          max_frags=raster_spec.max_frags
+                                          * s * s)
         crop_origin = crop_origin * s
         H, W = H * s, W * s
     Cs = Cp * s

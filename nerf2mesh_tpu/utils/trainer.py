@@ -1199,9 +1199,12 @@ class Trainer:
             ii = cx0.astype(jnp.float32) + sub[None, :]
             jj = jnp.broadcast_to(jj, (Cs, Cs))
             ii = jnp.broadcast_to(ii, (Cs, Cs))
+            # colmap-format datasets carry per-image intrinsics [B,4]
+            # (colmap_provider.py per-view calibration); blender shares [4]
+            intr = intrinsics[img_idx] if intrinsics.ndim == 2 else intrinsics
             dcam = pixel_dirs_cam(
                 ii.reshape(-1), jj.reshape(-1),
-                (intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]))
+                (intr[0], intr[1], intr[2], intr[3]))
             pose = poses[img_idx]
             dirs = (dcam @ pose[:3, :3].T).reshape(Cs, Cs, 3)
             mvp = mvps[img_idx]

@@ -46,10 +46,11 @@ if not os.path.exists(os.path.join(ws, "mesh_stage0", "mesh_0.ply")):
     mdir = os.path.join(ws, "mesh_stage0")
     print("cascade meshes:", sorted(os.listdir(mdir)), flush=True)
 
+# stage-1 ssaa/lr_vert defaults match the toy-gate-validated config
 main([root, "--workspace", ws, "--data_format", "colmap",
       "--stage", "1", "--bound", "4", "--scale", "1", "--dt_gamma", "0.0078",
-      "--iters", "800", "--lr_vert", "3e-4", "--refine",
-      "--texture_size", "1024", "--ssaa", "1", "--s1_alpha_eval", "aa",
+      "--iters", "800", "--refine",
+      "--texture_size", "1024", "--s1_alpha_eval", "aa",
       "--n_eval", "2", "--n_ckpt", "2", "--test_no_video"])
 print("COLMAP ALL DONE %.0fs" % (time.time() - t0), flush=True)
 

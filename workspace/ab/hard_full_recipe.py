@@ -35,9 +35,11 @@ main([root, "--workspace", ws,
       "--mcubes_reso", "256", "--decimate_target", "100000",
       "--n_eval", "2", "--n_ckpt", "2", "--test_no_video"])
 print("HARD STAGE0 DONE %.0fs" % (time.time() - t0), flush=True)
+# stage-1 config matches the toy-gate-validated defaults (ssaa 2 drives the
+# face budget + supersampled eval; lr_vert 1e-4 under the boosted schedule)
 main([root, "--workspace", ws,
       "--stage", "1", "--bound", "1", "--scale", "0.8", "--dt_gamma", "0",
-      "--iters", "4000", "--lr_vert", "3e-4", "--refine",
-      "--texture_size", "2048", "--ssaa", "1", "--s1_alpha_eval", "aa",
+      "--iters", "4000", "--refine",
+      "--texture_size", "2048", "--s1_alpha_eval", "aa",
       "--n_eval", "4", "--n_ckpt", "2", "--test_no_video"])
 print("HARD ALL DONE %.0fs" % (time.time() - t0), flush=True)

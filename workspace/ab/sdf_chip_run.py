@@ -63,11 +63,12 @@ stats = {
 }
 print("SDF chamfer probe:", json.dumps(stats), flush=True)
 
-# stage 1: remesh-only refine (the --sdf macro zeroes decimate/subdivide)
+# stage 1: remesh-only refine (the --sdf macro zeroes decimate/subdivide);
+# ssaa/lr_vert defaults match the toy-gate-validated stage-1 config
 main([root, "--workspace", ws, "--sdf",
       "--stage", "1", "--bound", "1", "--scale", str(SCALE),
-      "--dt_gamma", "0", "--iters", "1000", "--lr_vert", "3e-4", "--refine",
-      "--texture_size", "1024", "--ssaa", "1", "--s1_alpha_eval", "aa",
+      "--dt_gamma", "0", "--iters", "1000", "--refine",
+      "--texture_size", "1024", "--s1_alpha_eval", "aa",
       "--n_eval", "2", "--n_ckpt", "2", "--test_no_video"])
 print("SDF ALL DONE %.0fs" % (time.time() - t0), flush=True)
 

@@ -111,6 +111,12 @@ def main():
     float(metrics["loss"])
     dt = time.perf_counter() - t0
 
+    # the step fn donates its state argument; trainer.state still points at
+    # the donated (deleted) buffers from the last dispatch.  setup_stage1
+    # copies trainer.state.params -> INVALID_ARGUMENT on real TPUs (donation
+    # is a no-op on CPU, so only the chip crashed — round-3 Weak #2)
+    trainer.state = state
+
     rays_per_sec = total_rays / dt
 
     # ---- stage-1 refine steps/sec (the driver metric's third component) ----

@@ -69,11 +69,13 @@ class Config:
     # per-step cost against vertex-gradient coverage
     s1_crop: int = 0
     # stage-1 silhouette treatment (see models/stage1.render_stage1_crop):
-    # "aa" = hard strict coverage + analytic edge antialiasing (dr.antialias
-    # analog — the vertex-offset gradient channel); "hard" = strict coverage
-    # only; "soft" = signed-distance sigmoid (round-1/2 legacy).
-    s1_alpha: str = "aa"
-    s1_alpha_eval: str = "hard"
+    # "area" = exact per-pixel union area coverage (unbiased, dense vertex
+    # gradients; round-4 default — the oracle probe measured "aa"/"hard"
+    # under-covering rims by ~0.09 alpha at perfect geometry); "aa" = strict
+    # coverage + analytic edge antialiasing (dr.antialias analog); "hard" =
+    # strict coverage only; "soft" = signed-distance sigmoid (legacy).
+    s1_alpha: str = "area"
+    s1_alpha_eval: str = "area"
     # stage-1 face budget as supersampled-pixels per face (2*H*W*ssaa^2 /
     # this); keeps triangles big enough that the antialias edge-crossing
     # gradient can train vertex offsets.  0 disables (raster cap only).

@@ -201,7 +201,12 @@ def rasterize_crop(
         & (jax.lax.stop_gradient(l2) >= 0.0) \
         & (jax.lax.stop_gradient(l3) >= 0.0)
 
-    inside = sdist > -0.5                                          # rasterize near-edge too
+    # rasterize the near-edge band too: 0.7072 = half the pixel diagonal, so
+    # every pixel whose SQUARE overlaps the triangle is live (sdist is the
+    # min edge-LINE distance, which under-estimates region distance near
+    # corners — conservative).  Required for exact `area` coverage: corner
+    # overlaps with centers past the old 0.5 band carried up to ~0.02 area.
+    inside = sdist > -0.7072
     in_crop = (px[:, None, :] >= 0) & (px[:, None, :] < Cp) & \
               (py[:, :, None] >= 0) & (py[:, :, None] < Cp)
     in_crop = jnp.broadcast_to(in_crop, (K, B, B))
@@ -280,6 +285,63 @@ def rasterize_crop(
         covered_flat, jnp.take(sid, win_safe // (B * B)), -1).reshape(Cp, Cp)
     covered = covered_flat.reshape(Cp, Cp)
 
+    # --- exact per-fragment pixel coverage (for alpha_mode="area").
+    # Round-3 diagnosed the stage-1 deficit to silhouette coverage; the
+    # round-4 oracle probe (workspace/ab/oracle_probe.py) showed the bias is
+    # in the ESTIMATOR: with vertices projected exactly onto the analytic
+    # surface, strict+AA coverage still under-reads the rim by ~0.09 alpha,
+    # because the AA edge-crossing truncates at the depth-winner's edge while
+    # the surface continues through heavily-foreshortened rim slivers.  The
+    # exact area of (triangle ∩ pixel square) has no such truncation: rim
+    # slivers contribute exactly their microscopic areas, front faces tile
+    # partitions of the pixel, and the union over the front surface is a sum.
+    #
+    # Per-edge closed form (convex polygon ∩ axis-aligned box):
+    #   area = Σ_edges ∫_{y∈pixel} clamp(x_edge(y) - X0, 0, 1) · dy(signed)
+    # (the inner clamp integrates the covered x-interval per y-slab; the
+    # signed directed-edge sum telescopes exactly like the shoelace formula).
+    # ~80 flops per fragment, no polygon buffers, a.e. differentiable in the
+    # screen vertices — a DENSE analytic silhouette gradient at every rim
+    # fragment, vs the AA pass's sparse pairwise crossings.
+    def _edge_area(xa_, ya_, xb_, yb_):
+        # signed ∫ clamp(x - X0, 0, 1) dy along edge (xa,ya)->(xb,yb),
+        # y-clipped to the pixel row [Y0, Y0+1]
+        X0 = x0 + jnp.broadcast_to(px[:, None, :], (K, B, B))
+        Y0 = y0 + jnp.broadcast_to(py[:, :, None], (K, B, B))
+        uy1 = ya_ - Y0
+        uy2 = yb_ - Y0
+        dy = uy2 - uy1
+        dy_safe = jnp.where(jnp.abs(dy) < 1e-12, 1e-12, dy)
+        t_at0 = (0.0 - uy1) / dy_safe
+        t_at1 = (1.0 - uy1) / dy_safe
+        t0 = jnp.clip(jnp.where(dy > 0, t_at0, t_at1), 0.0, 1.0)
+        t1 = jnp.clip(jnp.where(dy > 0, t_at1, t_at0), 0.0, 1.0)
+        t1 = jnp.maximum(t1, t0)
+        xu = xa_ + t0 * (xb_ - xa_) - X0
+        xv = xa_ + t1 * (xb_ - xa_) - X0
+        sy = (uy1 + t1 * dy) - (uy1 + t0 * dy)   # signed y-span actually swept
+
+        def G(u, v):
+            # mean of max(lerp(u, v, s), 0) over s in [0, 1]
+            du = u - v
+            du_safe = jnp.where(jnp.abs(du) < 1e-8, 1.0, du)
+            exact = (jnp.maximum(u, 0.0) ** 2 - jnp.maximum(v, 0.0) ** 2) \
+                / (2.0 * du_safe)
+            return jnp.where(jnp.abs(du) < 1e-8,
+                             jnp.maximum(0.5 * (u + v), 0.0), exact)
+
+        return sy * (G(xu, xv) - G(xu - 1.0, xv - 1.0))
+
+    xr1 = jnp.broadcast_to(x1, (K, B, B))
+    yr1 = jnp.broadcast_to(y1, (K, B, B))
+    xr2 = jnp.broadcast_to(x2, (K, B, B))
+    yr2 = jnp.broadcast_to(y2, (K, B, B))
+    xr3 = jnp.broadcast_to(x3, (K, B, B))
+    yr3 = jnp.broadcast_to(y3, (K, B, B))
+    frag_area = (_edge_area(xr1, yr1, xr2, yr2)
+                 + _edge_area(xr2, yr2, xr3, yr3)
+                 + _edge_area(xr3, yr3, xr1, yr1))   # signed by winding
+
     # coverage alpha: max over ALL live fragments (not just the depth winner),
     # so interior tri-tri edges stay opaque; only true silhouettes go soft.
     # A pixel center strictly inside ANY triangle is interior to the mesh
@@ -294,12 +356,28 @@ def rasterize_crop(
     packed = jnp.stack(
         [alpha.reshape(-1),
          (jnp.broadcast_to(strict_in & ~degen, (K, B, B))
-          .reshape(-1)).astype(f32)], axis=-1)                   # [NF, 2]
+          .reshape(-1)).astype(f32),
+         frag_area.reshape(-1)], axis=-1)                        # [NF, 3]
     pc = jnp.take(packed, lid, axis=0) * valid_f[:, None].astype(f32)
     alpha_img = jnp.zeros((NP,), f32).at[pixc].max(pc[:, 0])[:-1]
     covered_strict = jnp.zeros((NP,), f32).at[pixc].max(
         jax.lax.stop_gradient(pc[:, 1]))[:-1]
     alpha_img = jnp.maximum(alpha_img, covered_strict)
+
+    # exact-area union coverage: front-surface fragments tile each pixel, so
+    # their areas SUM (clamped; self-occlusion overlap only saturates).  The
+    # facing filter is the signed winding itself: depth winners are front
+    # faces by construction, so the majority sign of their screen determinant
+    # identifies the front orientation; back faces then carry the opposite
+    # sign and clamp away at 0 (a closed surface's rim back-slivers would
+    # otherwise double the silhouette band's area).
+    det_k = jax.lax.stop_gradient(det_safe[:, 0, 0])             # [K]
+    det_win = jnp.take(det_k, win_safe // (B * B))
+    vote = jnp.sum(jnp.where(covered_flat, jnp.sign(det_win), 0.0))
+    facing = jnp.where(vote >= 0.0, 1.0, -1.0)
+    area_c = jnp.maximum(pc[:, 2] * facing, 0.0)
+    area_img = jnp.zeros((NP,), f32).at[pixc].add(area_c)[:-1]
+    area_img = jnp.clip(area_img, 0.0, 1.0)
 
     win_slot = jnp.where(covered_flat, win_safe // (B * B),
                          -1).astype(jnp.int32).reshape(Cp, Cp)
@@ -309,6 +387,10 @@ def rasterize_crop(
         "bary": jnp.stack([resolve(b1), resolve(b2), resolve(b3)], axis=-1),
         "depth": resolve(depth),
         "alpha": jnp.clip(alpha_img.reshape(Cp, Cp), 0.0, 1.0),
+        # exact union area coverage of the front surface per pixel — the
+        # unbiased silhouette estimator (alpha_mode="area"); carries dense
+        # analytic d(coverage)/d(screen verts) at every rim fragment
+        "area": area_img.reshape(Cp, Cp),
         "covered": covered,
         # strict pixel-center coverage: some triangle contains the pixel
         # center (exact half-plane test, degenerate slivers excluded).  This

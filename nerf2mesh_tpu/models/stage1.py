@@ -273,40 +273,55 @@ def render_stage1_crop(
     rgbs = jnp.where(rast["covered"][..., None], rgbs, 0.0)
 
     # alpha_mode (silhouette treatment):
+    #   "area" — EXACT per-pixel union area coverage of the front surface
+    #            (rasterizer frag_area).  Unbiased at the rim (the round-4
+    #            oracle probe measured strict+AA under-covering by ~0.09
+    #            alpha even with perfect geometry) and identical at train
+    #            and eval — estimator parity by construction.  Dense
+    #            analytic vertex gradients at every rim pixel.  The default.
     #   "aa"   — hard pixel-center coverage + analytic edge antialiasing
-    #            (dr.antialias analog; the default, reference parity:
-    #            renderer.py:884-887).  Vertex-offset gradients flow through
-    #            the exact edge-crossing blend weights.
-    #   "hard" — binary pixel-center coverage, no blending (matches 1-spp
-    #            hard-edged ground truth exactly when placement is right).
+    #            (dr.antialias analog, reference parity renderer.py:884-887).
+    #            Biased: the AA crossing truncates at the depth winner's
+    #            edge, shaving foreshortened rim slivers.
+    #   "hard" — binary pixel-center coverage, no blending.
     #   "soft" — signed-distance sigmoid ramp (~soft_px wide).  Round-1/2
     #            training mode; smears ~1.4 px of blend across every
     #            silhouette (measured 86% of stage-1 eval MSE vs hard GT).
     # NOTE "hard"/"aa" use STRICT coverage — `covered` also marks near-edge
     # outside winners (extrapolated rim pixels), which dilates silhouettes
     # outward by ~1px (the round-2 capstone's systematic rim error).
-    if alpha_mode in ("aa", "hard"):
+    if alpha_mode == "area":
+        alpha = rast["area"][..., None]
+    elif alpha_mode in ("aa", "hard"):
         alpha = rast["strict"].astype(jnp.float32)[..., None]
     elif alpha_mode == "soft":
         alpha = rast["alpha"][..., None]
     else:
         raise ValueError(f"unknown alpha_mode {alpha_mode!r}")
     image = alpha * rgbs + (1.0 - alpha) * bg_color
+    # white composite alongside: the train-time quality METRIC must match
+    # the eval protocol (GT over white, render_image_stage1 bg=1) — the
+    # random-bg PSNR systematically reads ~3 dB high because random bg
+    # lowers the fg/bg contrast that rim errors multiply (round-3 Weak #3)
+    image_w = alpha * rgbs + (1.0 - alpha)
     depth = alpha[..., 0] * rast["depth"]
     if alpha_mode == "aa":
         from .rasterizer import antialias
-        rgba = antialias(jnp.concatenate([image, alpha], axis=-1), rast,
-                         crop_origin)
-        image, alpha = rgba[..., :3], rgba[..., 3:]
+        rgba = antialias(
+            jnp.concatenate([image, alpha, image_w], axis=-1), rast,
+            crop_origin)
+        image, alpha, image_w = rgba[..., :3], rgba[..., 3:4], rgba[..., 4:]
     weights_sum = alpha[..., 0]
 
     if s > 1:
         image = image.reshape(Cp, s, Cp, s, 3).mean(axis=(1, 3))
+        image_w = image_w.reshape(Cp, s, Cp, s, 3).mean(axis=(1, 3))
         depth = depth.reshape(Cp, s, Cp, s).mean(axis=(1, 3))
         weights_sum = weights_sum.reshape(Cp, s, Cp, s).mean(axis=(1, 3))
 
     return {
         "image": image,
+        "image_white": image_w,
         "depth": depth,
         "weights_sum": weights_sum,
         "trig_id": rast["tri_id"],
@@ -442,7 +457,14 @@ def refine_and_decimate(
                 cv, cf, mask, decimate_ratio=cfg.refine_decimate_ratio,
                 refine_size=cfg.refine_size,
                 refine_remesh_size=cfg.refine_remesh_size)
-            inner_budget = budget - int(n_outer)
+            # multi-cascade scenes can have outer faces consuming most (or
+            # more than) the budget — floor the inner share so decimate_mesh
+            # never receives a non-positive target (ADVICE r3 #1)
+            inner_budget = max(budget - int(n_outer), 1024)
+            if budget - int(n_outer) < 1024:
+                print(f"[refine_and_decimate] outer cascades use "
+                      f"{int(n_outer)} of the {budget} face budget; flooring "
+                      f"the inner budget at 1024")
             if len(cf) > inner_budget:
                 print(f"[refine_and_decimate] {len(cf)} inner faces exceed "
                       f"the raster budget {inner_budget}; decimating back")

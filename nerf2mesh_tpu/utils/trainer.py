@@ -63,10 +63,14 @@ def lr_schedule(cfg: Config):
     return fn
 
 
-def make_optimizer(cfg: Config):
+def make_optimizer(cfg: Config, vert_horizon: Optional[int] = None):
     """Adam(eps=1e-15) with 0.1x lr for individual codes and SDF variance,
     and lr_vert for stage-1 vertex offsets (reference main.py:221,
-    renderer.py:173-180, network.py:206)."""
+    renderer.py:173-180, network.py:206).
+
+    vert_horizon overrides the vertex-lr decay horizon (defaults to
+    cfg.iters); train_stage1 passes its actual step budget so short runs
+    (tests, probes) decay over the right span (ADVICE r3 #3)."""
     def label_fn(params):
         out = {}
         for k in params:
@@ -91,7 +95,8 @@ def make_optimizer(cfg: Config):
         # s1_cpu_debug: rim coverage froze at 0.77 vs GT 0.52; 30x lr closed
         # it and gained +4-6 dB full-frame).
         it = jnp.asarray(it, jnp.float32)
-        frac = jnp.clip(it / max(float(cfg.iters), 1.0), 0.0, 1.0)
+        horizon = float(vert_horizon if vert_horizon else cfg.iters)
+        frac = jnp.clip(it / max(horizon, 1.0), 0.0, 1.0)
         boost = max(float(cfg.s1_vert_boost), 1.0)
         return cfg.lr_vert * boost ** (1.0 - frac)
 
@@ -107,6 +112,138 @@ class StepDynamics(NamedTuple):
     cos_anneal_ratio: jax.Array   # f32 (sdf)
     normal_epsilon: jax.Array     # f32 (sdf)
     lambda_depth_ramp: jax.Array  # f32 in [0,1]
+
+
+
+
+def make_stage1_crop_loss(cfg: Config, nspec, rspec):
+    """Factory for the stage-1 per-crop loss — the shard body under crop
+    data parallelism (each device draws its own image + random crop, the
+    stage-1 analog of sharding the ray batch, SURVEY §2.3).  Module-level so
+    tests can emulate shards one-by-one and check the collective math
+    (tests/test_parallel.py)."""
+    from ..models.stage1 import (
+        edge_length_loss, laplacian_loss, normal_consistency_loss,
+        offsets_loss, render_stage1_crop)
+    from ..data.rays import pixel_dirs_cam
+    from .losses import perceptual_loss
+
+    ss = max(int(cfg.ssaa), 1)
+    Cp = rspec.crop
+    Cs = Cp * ss  # supersampled crop side (renderer.py:825-833)
+
+    def crop_loss(params, kc, mesh_v, mesh_f, mesh_edges, mesh_deg,
+                  mesh_pairs, counts, images_u8, poses, mvps, intrinsics):
+        """Loss of ONE random crop render (the shard body under data
+        parallelism: each device draws its own image + crop — the
+        stage-1 analog of sharding the ray batch, SURVEY §2.3)."""
+        v_real, f_real, e_real, p_real, v_inner = (
+            counts[0], counts[1], counts[2], counts[3], counts[4])
+        k_img, k_crop, k_bg = jax.random.split(kc, 3)
+        B, H, W, C = images_u8.shape
+        img_idx = jax.random.randint(k_img, (), 0, B)
+        cy0 = jax.random.randint(k_crop, (), 0, max(H - Cp, 1))
+        cx0 = jax.random.randint(k_crop, (), 0, max(W - Cp, 1))
+        crop_origin = jnp.stack([cy0, cx0])
+
+        gt_raw = jax.lax.dynamic_slice(
+            images_u8, (img_idx, cy0, cx0, 0), (1, Cp, Cp, C)
+        )[0].astype(jnp.float32) / 255.0
+
+        # bg at supersampled resolution; GT composites against its pooled
+        # version so render-downsample and GT agree
+        if cfg.background == "white":
+            bg = jnp.ones((Cs, Cs, 3))
+            bg_lo = jnp.ones((Cp, Cp, 3))
+        else:
+            bg = jax.random.uniform(k_bg, (Cs, Cs, 3))
+            bg_lo = bg.reshape(Cp, ss, Cp, ss, 3).mean(axis=(1, 3))
+
+        if C == 4:
+            gt_mask = gt_raw[..., 3:]
+            gt_rgb = gt_raw[..., :3] * gt_mask + bg_lo * (1 - gt_mask)
+            gt_white = gt_raw[..., :3] * gt_mask + (1 - gt_mask)
+        else:
+            gt_mask = None
+            gt_rgb = gt_raw
+            gt_white = gt_raw
+
+        # per-pixel view directions at supersampled centers (full-res
+        # pixel units: subpixel centers (k+0.5)/ss within each GT pixel)
+        sub = (jnp.arange(Cs, dtype=jnp.float32) + 0.5) / ss
+        jj = cy0.astype(jnp.float32) + sub[:, None]
+        ii = cx0.astype(jnp.float32) + sub[None, :]
+        jj = jnp.broadcast_to(jj, (Cs, Cs))
+        ii = jnp.broadcast_to(ii, (Cs, Cs))
+        # colmap-format datasets carry per-image intrinsics [B,4]
+        # (colmap_provider.py per-view calibration); blender shares [4]
+        intr = intrinsics[img_idx] if intrinsics.ndim == 2 else intrinsics
+        dcam = pixel_dirs_cam(
+            ii.reshape(-1), jj.reshape(-1),
+            (intr[0], intr[1], intr[2], intr[3]))
+        pose = poses[img_idx]
+        dirs = (dcam @ pose[:3, :3].T).reshape(Cs, Cs, 3)
+        mvp = mvps[img_idx]
+
+        ind_code = None
+        if cfg.ind_dim > 0:
+            ind_code = params["individual_codes"][img_idx][None]
+
+        out = render_stage1_crop(
+            params, params["vertices_offsets"], mesh_v,
+            mesh_f, mvp, crop_origin, dirs, bg, nspec, rspec,
+            H, W,
+            shading="full",
+            ind_code=ind_code, contracted=cfg.contract,
+            enable_offset_nerf_grad=cfg.enable_offset_nerf_grad,
+            pos_gradient_boost=cfg.pos_gradient_boost,
+            ssaa=ss, alpha_mode=cfg.s1_alpha, f_valid=f_real)
+
+        loss_pix = cfg.lambda_rgb * jnp.mean(
+            (out["image"] - gt_rgb) ** 2, axis=-1)
+        if gt_mask is not None and cfg.lambda_mask > 0:
+            loss_pix = loss_pix + cfg.lambda_mask * (
+                (out["weights_sum"] - gt_mask[..., 0]) ** 2)
+        loss = jnp.mean(loss_pix)
+
+        verts = mesh_v + params["vertices_offsets"]
+        if cfg.lambda_lap > 0:
+            loss += cfg.lambda_lap * laplacian_loss(
+                verts, mesh_edges, mesh_deg, v_real, e_real)
+        if cfg.lambda_normal > 0:
+            loss += cfg.lambda_normal * normal_consistency_loss(
+                verts, mesh_f, mesh_pairs, p_real)
+        if cfg.lambda_edgelen > 0:
+            loss += cfg.lambda_edgelen * edge_length_loss(
+                verts, mesh_edges, e_real)
+        if cfg.lambda_offsets > 0:
+            loss += cfg.lambda_offsets * offsets_loss(
+                params["vertices_offsets"], v_inner, cfg.bound,
+                v_real)
+        if cfg.lambda_lpips > 0:
+            # weight-free perceptual analog of the reference's
+            # lpips-vgg crop loss (utils.py:1044-1049)
+            loss += cfg.lambda_lpips * perceptual_loss(
+                out["image"], gt_rgb)
+
+        metrics = {
+            "loss": loss,
+            "psnr": -10.0 * jnp.log10(jnp.maximum(
+                jnp.mean((out["image"] - gt_rgb) ** 2), 1e-12)),
+            # the eval-protocol metric (white-composited both sides):
+            # the random-bg psnr above reads ~3 dB high on identical
+            # geometry because random bg lowers fg/bg contrast at the
+            # rim (round-3 Weak #3) — quality decisions use THIS one
+            "psnr_white": -10.0 * jnp.log10(jnp.maximum(
+                jnp.mean((out["image_white"] - gt_white) ** 2),
+                1e-12)),
+            # triangles dropped past the raster compaction budget —
+            # nonzero means the render (and its gradients) had holes
+            "overflow": out["overflow"],
+        }
+        return loss, (metrics, out["trig_id"], loss_pix)
+
+    return crop_loss
 
 
 class Trainer:
@@ -1052,7 +1189,10 @@ class Trainer:
         # frame up to 256^2; cfg.s1_crop overrides.
         want = self.cfg.s1_crop if self.cfg.s1_crop > 0 else 256
         self._s1_crop = int(min(want, dataset.H, dataset.W))
-        fl = float(dataset.intrinsics_for(0)[0])
+        # per-image intrinsics (colmap): the tightest screen-edge bound comes
+        # from the LONGEST focal length across views (ADVICE r3 #4)
+        intr = np.asarray(dataset.intrinsics)
+        fl = float(intr[:, :2].max() if intr.ndim == 2 else intr[:2].max())
         ss = max(int(self.cfg.ssaa), 1)
         # screen-resolution face budget: keep faces a few supersampled pixels
         # big so the antialias edge-crossing gradient (the only photometric
@@ -1064,7 +1204,9 @@ class Trainer:
                 2.0 * dataset.H * dataset.W * ss * ss
                 / self.cfg.s1_px_per_face, 3 * 2 ** 16))
         else:
-            self._s1_face_budget = 3 * 2 ** 16
+            # 0 = disabled (config.py contract): no base-mesh decimation;
+            # the raster compaction budget remains the only cap
+            self._s1_face_budget = 0
         # ssaa multiplies the effective focal length at raster resolution
         max_edge = self._raster_spec().frag * 0.8 / (fl * ss)
         self.stage1_mesh = load_stage1_mesh(
@@ -1091,8 +1233,29 @@ class Trainer:
                              "num_faces", None))
         cap = 2 ** 15 if ntri is None else min(
             2 ** 18, 1 << int(np.ceil(np.log2(max(ntri, 2)))))
+        # fragment-budget sufficiency is config arithmetic — size it at
+        # setup instead of discovering silent drops mid-run (cap96v2 trained
+        # its first 750 steps with 170-234k dropped fragments/step before the
+        # ssaa budget-scaling fix landed).  Per overlapping face, live
+        # fragments ~ (edge_px + 2)^2 at SUPERSAMPLED raster resolution
+        # (bbox + the near-edge ring; back faces rasterize too); edge_px
+        # follows from the px-per-face budget.  render_stage1_crop multiplies
+        # max_frags by ssaa^2, so the base budget compares at demand/ssaa^2.
+        ss = max(int(self.cfg.ssaa), 1)
+        px = self.cfg.s1_px_per_face if self.cfg.s1_px_per_face > 0 else 6.0
+        per_face = min(64.0, (np.sqrt(2.0 * px) + 2.0) ** 2)
+        demand = int(min(ntri or 2 ** 15, cap) * per_face / (ss * ss))
+        budget = 1 << 20
+        while budget < demand and budget < (1 << 22):
+            budget <<= 1
+        if demand > budget:
+            raise ValueError(
+                f"stage-1 raster fragment demand ~{demand} exceeds the "
+                f"maximum budget {1 << 22} (faces={ntri}, K={cap}, "
+                f"ssaa={ss}); reduce the face count (s1_px_per_face) or "
+                f"the crop size (s1_crop)")
         return RasterSpec(crop=getattr(self, "_s1_crop", 128),
-                          max_tris=cap, frag=8)
+                          max_tris=cap, frag=8, max_frags=budget)
 
     def _reset_stage1_params(self):
         """(Re)create offsets + error accumulators and re-init the optimizer
@@ -1138,7 +1301,6 @@ class Trainer:
         nspec = self.net_spec
         rspec = self._raster_spec()
         optimizer = self.optimizer
-        Cp = rspec.crop
 
         # one jitted wrapper per RasterSpec: mesh buffers are ARGUMENTS (not
         # closure constants), so refines with unchanged size buckets reuse
@@ -1150,116 +1312,56 @@ class Trainer:
         if rspec in cache:
             return cache[rspec]
 
-        from ..models.stage1 import (
-            edge_length_loss, laplacian_loss, normal_consistency_loss,
-            offsets_loss, render_stage1_crop)
-        from ..data.rays import pixel_dirs_cam
-        from .losses import perceptual_loss
-
+        crop_loss = make_stage1_crop_loss(cfg, nspec, rspec)
         ss = max(int(cfg.ssaa), 1)
-        Cs = Cp * ss  # supersampled crop side (renderer.py:825-833)
+        dev_mesh = self.mesh
+        n_shards = self.n_shards
 
         def step_fn(state: TrainState, tri_errors, tri_counts,
                     mesh_v, mesh_f, mesh_edges, mesh_deg, mesh_pairs,
                     counts, images_u8,
                     poses, mvps, intrinsics, dyn: StepDynamics):
-            v_real, f_real, e_real, p_real, v_inner = (
-                counts[0], counts[1], counts[2], counts[3], counts[4])
-            key, k_img, k_crop, k_bg = jax.random.split(state.key, 4)
-            B, H, W, C = images_u8.shape
-            img_idx = jax.random.randint(k_img, (), 0, B)
-            cy0 = jax.random.randint(k_crop, (), 0, max(H - Cp, 1))
-            cx0 = jax.random.randint(k_crop, (), 0, max(W - Cp, 1))
-            crop_origin = jnp.stack([cy0, cx0])
+            key, kstep = jax.random.split(state.key)
 
-            gt_raw = jax.lax.dynamic_slice(
-                images_u8, (img_idx, cy0, cx0, 0), (1, Cp, Cp, C)
-            )[0].astype(jnp.float32) / 255.0
+            if dev_mesh is not None:
+                # data parallelism over crops: each device renders its OWN
+                # random (image, crop) and grads psum over "data" — the
+                # stage-1 analog of the stage-0 ray-batch sharding (§2.3)
+                from jax.experimental.shard_map import shard_map
 
-            # bg at supersampled resolution; GT composites against its pooled
-            # version so render-downsample and GT agree
-            if cfg.background == "white":
-                bg = jnp.ones((Cs, Cs, 3))
-                bg_lo = jnp.ones((Cp, Cp, 3))
+                def shard_fn(params, keys, mv, mf, me, md, mp, cts,
+                             imgs, ps, mvs, intr):
+                    loss, (metrics, trig, lp) = crop_loss(
+                        params, keys[0], mv, mf, me, md, mp, cts,
+                        imgs, ps, mvs, intr)
+                    loss = jax.lax.pmean(loss, "data")
+                    metrics = {
+                        "loss": loss,
+                        "psnr": jax.lax.pmean(metrics["psnr"], "data"),
+                        "psnr_white": jax.lax.pmean(
+                            metrics["psnr_white"], "data"),
+                        "overflow": jax.lax.psum(
+                            metrics["overflow"], "data"),
+                    }
+                    return loss, (metrics, trig, lp)
+
+                def loss_fn(params):
+                    keys = jax.random.split(kstep, n_shards)
+                    f = shard_map(
+                        shard_fn, mesh=dev_mesh,
+                        in_specs=(P(), P("data"), P(), P(), P(), P(), P(),
+                                  P(), P(), P(), P(), P()),
+                        out_specs=(P(), (P(), P("data"), P("data"))),
+                        check_rep=False)
+                    return f(params, keys, mesh_v, mesh_f, mesh_edges,
+                             mesh_deg, mesh_pairs, counts, images_u8,
+                             poses, mvps, intrinsics)
             else:
-                bg = jax.random.uniform(k_bg, (Cs, Cs, 3))
-                bg_lo = bg.reshape(Cp, ss, Cp, ss, 3).mean(axis=(1, 3))
-
-            if C == 4:
-                gt_mask = gt_raw[..., 3:]
-                gt_rgb = gt_raw[..., :3] * gt_mask + bg_lo * (1 - gt_mask)
-            else:
-                gt_mask = None
-                gt_rgb = gt_raw
-
-            # per-pixel view directions at supersampled centers (full-res
-            # pixel units: subpixel centers (k+0.5)/ss within each GT pixel)
-            sub = (jnp.arange(Cs, dtype=jnp.float32) + 0.5) / ss
-            jj = cy0.astype(jnp.float32) + sub[:, None]
-            ii = cx0.astype(jnp.float32) + sub[None, :]
-            jj = jnp.broadcast_to(jj, (Cs, Cs))
-            ii = jnp.broadcast_to(ii, (Cs, Cs))
-            # colmap-format datasets carry per-image intrinsics [B,4]
-            # (colmap_provider.py per-view calibration); blender shares [4]
-            intr = intrinsics[img_idx] if intrinsics.ndim == 2 else intrinsics
-            dcam = pixel_dirs_cam(
-                ii.reshape(-1), jj.reshape(-1),
-                (intr[0], intr[1], intr[2], intr[3]))
-            pose = poses[img_idx]
-            dirs = (dcam @ pose[:3, :3].T).reshape(Cs, Cs, 3)
-            mvp = mvps[img_idx]
-
-            ind_code = None
-            if cfg.ind_dim > 0:
-                ind_code = state.params["individual_codes"][img_idx][None]
-
-            def loss_fn(params):
-                out = render_stage1_crop(
-                    params, params["vertices_offsets"], mesh_v,
-                    mesh_f, mvp, crop_origin, dirs, bg, nspec, rspec,
-                    H, W,
-                    shading="full",
-                    ind_code=ind_code, contracted=cfg.contract,
-                    enable_offset_nerf_grad=cfg.enable_offset_nerf_grad,
-                    pos_gradient_boost=cfg.pos_gradient_boost,
-                    ssaa=ss, alpha_mode=cfg.s1_alpha, f_valid=f_real)
-
-                loss_pix = cfg.lambda_rgb * jnp.mean(
-                    (out["image"] - gt_rgb) ** 2, axis=-1)
-                if gt_mask is not None and cfg.lambda_mask > 0:
-                    loss_pix = loss_pix + cfg.lambda_mask * (
-                        (out["weights_sum"] - gt_mask[..., 0]) ** 2)
-                loss = jnp.mean(loss_pix)
-
-                verts = mesh_v + params["vertices_offsets"]
-                if cfg.lambda_lap > 0:
-                    loss += cfg.lambda_lap * laplacian_loss(
-                        verts, mesh_edges, mesh_deg, v_real, e_real)
-                if cfg.lambda_normal > 0:
-                    loss += cfg.lambda_normal * normal_consistency_loss(
-                        verts, mesh_f, mesh_pairs, p_real)
-                if cfg.lambda_edgelen > 0:
-                    loss += cfg.lambda_edgelen * edge_length_loss(
-                        verts, mesh_edges, e_real)
-                if cfg.lambda_offsets > 0:
-                    loss += cfg.lambda_offsets * offsets_loss(
-                        params["vertices_offsets"], v_inner, cfg.bound,
-                        v_real)
-                if cfg.lambda_lpips > 0:
-                    # weight-free perceptual analog of the reference's
-                    # lpips-vgg crop loss (utils.py:1044-1049)
-                    loss += cfg.lambda_lpips * perceptual_loss(
-                        out["image"], gt_rgb)
-
-                metrics = {
-                    "loss": loss,
-                    "psnr": -10.0 * jnp.log10(jnp.maximum(
-                        jnp.mean((out["image"] - gt_rgb) ** 2), 1e-12)),
-                    # triangles dropped past the raster compaction budget —
-                    # nonzero means the render (and its gradients) had holes
-                    "overflow": out["overflow"],
-                }
-                return loss, (metrics, out["trig_id"], loss_pix)
+                def loss_fn(params):
+                    return crop_loss(params, kstep, mesh_v, mesh_f,
+                                     mesh_edges, mesh_deg, mesh_pairs,
+                                     counts, images_u8, poses, mvps,
+                                     intrinsics)
 
             (loss, (metrics, trig_id, loss_pix)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
@@ -1296,6 +1398,13 @@ class Trainer:
         from ..models.stage1 import refine_and_decimate
         cfg = self.cfg
         steps = max_steps if max_steps is not None else cfg.iters
+        # vertex-lr decay must span the ACTUAL step budget, not cfg.iters
+        # (ADVICE r3 #3: max_steps callers otherwise end at a boosted lr)
+        if steps != cfg.iters and getattr(self, "_vert_horizon", None) != steps:
+            self.optimizer = make_optimizer(cfg, vert_horizon=steps)
+            self._vert_horizon = steps
+            self._s1_step_cache = {}       # step fn closes over the optimizer
+            self._stage1_step_fn = None
         images = jnp.asarray(dataset.images)
         poses = jnp.asarray(dataset.poses)
         mvps = jnp.asarray(dataset.mvps)
@@ -1331,7 +1440,9 @@ class Trainer:
             if (step + 1) % max(1, steps // 10) == 0 or step == steps - 1:
                 m = {k: float(v) for k, v in last.items()}
                 self.log(f"[stage1 {step+1}/{steps}] loss={m['loss']:.6f} "
-                         f"psnr={m['psnr']:.2f} f={self.stage1_mesh.num_faces} "
+                         f"psnr={m['psnr']:.2f} "
+                         f"psnr_white={m.get('psnr_white', m['psnr']):.2f} "
+                         f"f={self.stage1_mesh.num_faces} "
                          f"{(time.time()-t0):.1f}s")
                 if m.get("overflow", 0) > 0:
                     self.log(f"[WARN] raster budget overflow: "

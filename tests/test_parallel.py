@@ -175,7 +175,15 @@ def test_stage1_sharded_step_matches_manual_mean(scene_root, tmp_path):
                                rtol=1e-4)
     updates, _ = t.optimizer.update(grad_mean, opt0, params0)
     params_manual = optax.apply_updates(params0, updates)
-    _tree_close(state1.params, params_manual)
+    # Adam's first step is sign-dominated (update = ±lr for any |g| >> eps),
+    # so coords whose gradient is ~0 can flip sign purely from fp32 summation
+    # order (psum vs python sum).  Mask those; everything else must match.
+    def check(a, b, g):
+        a, b, g = np.asarray(a), np.asarray(b), np.abs(np.asarray(g))
+        mask = g > 1e-6
+        np.testing.assert_allclose(a[mask], b[mask], atol=2e-5, rtol=2e-4)
+
+    jax.tree_util.tree_map(check, state1.params, params_manual, grad_mean)
 
     # aggregate contracts: error accumulators received all shards' fragments;
     # the update moved only real vertices (padding stays zero)

@@ -83,6 +83,13 @@ class Config:
     # vertex-offset lr starts at s1_vert_boost*lr_vert and decays to lr_vert
     # over the run (movement budget ~ reference's 30k iters at lr_vert)
     s1_vert_boost: float = 30.0
+    # snap fresh stage-1 vertices to the stage-0 field's apparent surface
+    # (volume-render expected depth along the vertex normal) before training:
+    # marching cubes' sigma=thresh isosurface sits systematically outside the
+    # rendered surface, and interior vertices have no photometric gradient to
+    # fix it (xyz detached, renderer.py:877-879).  NGP mode only (SDF meshes
+    # at the 0-level are already apparent).
+    s1_snap_surface: bool = True
     pos_gradient_boost: float = 1.0
     max_steps: int = 1024
     update_extra_interval: int = 16

@@ -157,6 +157,82 @@ def init_offsets(mesh: Stage1Mesh) -> jax.Array:
     return jnp.zeros((mesh.num_vertices, 3), jnp.float32)
 
 
+def snap_to_apparent_surface(params, verts: np.ndarray, tris: np.ndarray,
+                             net_spec, band: float,
+                             n_samples: int = 32,
+                             chunk: int = 1 << 17,
+                             sigma_fn=None) -> np.ndarray:
+    """Move vertices onto the stage-0 field's APPARENT surface: the
+    volume-render expected depth along each vertex normal.
+
+    Marching cubes extracts the sigma=thresh isosurface, which sits
+    systematically OUTSIDE the surface a volume render actually shows (the
+    sigma ramp reaches thresh early); the round-4 oracle probe measured the
+    capstone mesh a median 0.03 ngp units (~4 px) off the true surface, and
+    interior eval PSNR 26-28 vs 32-33 when vertices were projected onto the
+    truth — vertex positions feed the (detached) field queries that shade
+    every pixel, so interior placement is a first-order quality term with NO
+    photometric gradient of its own (renderer.py:877-879 detaches xyz).
+
+    For each vertex: probe sigma at n_samples points along +-band on the
+    outward normal, integrate transmittance inward, and move the vertex to
+    the expected crossing E[t] (the same estimator as the renderer's depth).
+    Vertices whose probe accumulates < 0.3 opacity (open space, e.g. culled
+    geometry) stay put.  Normals are auto-oriented per vertex by comparing
+    sigma at the two band endpoints.
+    """
+    if sigma_fn is None:
+        from .network import density
+
+        def sigma_fn(params, x):
+            return density(params, x, net_spec)
+
+    v = np.asarray(verts, np.float32)
+    t = np.asarray(tris, np.int64)
+    fn = np.cross(v[t[:, 1]] - v[t[:, 0]], v[t[:, 2]] - v[t[:, 0]])
+    nrm = np.zeros_like(v)
+    np.add.at(nrm, t[:, 0], fn)
+    np.add.at(nrm, t[:, 1], fn)
+    np.add.at(nrm, t[:, 2], fn)
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+
+    offs = np.linspace(band, -band, n_samples).astype(np.float32)
+    dt = 2.0 * band / n_samples
+
+    @jax.jit
+    def probe(params, vc, nc):
+        # orientation check: sigma should be lower on the outward side
+        s_out = sigma_fn(params, vc + band * nc)
+        s_in = sigma_fn(params, vc - band * nc)
+        flip = (s_out > s_in)[:, None]
+        n_o = jnp.where(flip, -nc, nc)
+        pts = vc[:, None, :] + offs[None, :, None] * n_o[:, None, :]
+        sig = sigma_fn(params, pts.reshape(-1, 3))
+        sig = sig.reshape(vc.shape[0], n_samples)
+        alpha = 1.0 - jnp.exp(-jnp.maximum(sig, 0.0) * dt)
+        T = jnp.cumprod(1.0 - alpha + 1e-7, axis=-1)
+        T = jnp.concatenate([jnp.ones_like(T[:, :1]), T[:, :-1]], axis=-1)
+        w = T * alpha
+        wsum = jnp.sum(w, axis=-1)
+        et = jnp.sum(w * offs[None, :], axis=-1) / jnp.maximum(wsum, 1e-6)
+        new_v = jnp.where((wsum > 0.3)[:, None], vc + et[:, None] * n_o, vc)
+        return new_v, wsum
+
+    out = np.empty_like(v)
+    moved = 0
+    for c0 in range(0, len(v), chunk):
+        vc = jnp.asarray(v[c0:c0 + chunk])
+        nc = jnp.asarray(nrm[c0:c0 + chunk])
+        nv, ws = probe(params, vc, nc)
+        out[c0:c0 + chunk] = np.asarray(nv)
+        moved += int((np.asarray(ws) > 0.3).sum())
+    d = np.linalg.norm(out - v, axis=-1)
+    print(f"[snap_to_apparent_surface] moved {moved}/{len(v)} vertices, "
+          f"|d| mean {d.mean():.5f} p90 {np.percentile(d, 90):.5f} "
+          f"(band {band:.4f})")
+    return out
+
+
 def _bucket(n: int, min_b: int = 1024, cap: int = 0) -> int:
     """Next power-of-two size bucket (>= min_b); cap > 0 clamps."""
     b = max(min_b, 1 << int(np.ceil(np.log2(max(n, 1)))))

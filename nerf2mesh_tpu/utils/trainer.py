@@ -1216,6 +1216,14 @@ class Trainer:
             face_budget=self._s1_face_budget)
         self.log(f"[INFO] stage1 mesh: v={self.stage1_mesh.num_vertices} "
                  f"f={self.stage1_mesh.num_faces}")
+        # surface snap is deferred to train_stage1: setup runs BEFORE the
+        # stage-0 checkpoint restore (main.py order), and the snap needs the
+        # trained field.  Resumed topologies (_updated meshes) are byte-
+        # stable by contract — never snapped.
+        upd = os.path.join(self.workspace, "mesh_stage0", "mesh_0_updated.ply")
+        resumed = self.cfg.ckpt != "scratch" and os.path.exists(upd)
+        self._s1_want_snap = (self.cfg.s1_snap_surface and not resumed
+                              and not self.cfg.sdf and not self.cfg.mesh)
         self._reset_stage1_params()
 
     def _raster_spec(self):
@@ -1413,6 +1421,18 @@ class Trainer:
         eval_interval = max(1, steps // max(cfg.n_eval, 1))
         t0 = time.time()
         start = int(self.state.step)
+        if getattr(self, "_s1_want_snap", False) and start == 0:
+            from ..models.stage1 import (pad_stage1_buffers,
+                                         snap_to_apparent_surface)
+            self._s1_want_snap = False
+            mesh = self.stage1_mesh
+            v1 = int(mesh.v_cumsum[1])
+            band = 4.0 * (2.0 * cfg.real_bound / max(cfg.mcubes_reso, 1))
+            mesh.vertices[:v1] = snap_to_apparent_surface(
+                self.state.params, mesh.vertices[:v1],
+                mesh.triangles[:int(mesh.f_cumsum[1])], self.net_spec,
+                band=band)
+            self.mesh_v = jnp.asarray(pad_stage1_buffers(mesh)["vertices"])
         last = None
         for step in range(start, steps):
             if cfg.refine and (step + 1) in cfg.refine_steps:

@@ -8,7 +8,7 @@ occupancy -> inner + outer cascade mesh export -> stage-1 over the
 multi-cascade mesh set -> web export.  Mirrors the reference's LLFF recipe
 shape (scripts/runall_llff.sh; outer-cascade export renderer.py:606-672).
 
-Snapshots log+metrics into workspace/validation/round3/.
+Snapshots log+metrics into workspace/validation/round4/.
 """
 import sys
 
@@ -23,7 +23,7 @@ from nerf2mesh_tpu.main import main
 
 root = "/root/repo/workspace/runs/colmap_scene"
 ws = "/root/repo/workspace/runs/ws_colmap"
-snap = "/root/repo/workspace/validation/round3"
+snap = "/root/repo/workspace/validation/round4"
 os.makedirs(snap, exist_ok=True)
 
 if not os.path.exists(os.path.join(root, "sparse", "0", "cameras.bin")):
@@ -50,7 +50,7 @@ if not os.path.exists(os.path.join(ws, "mesh_stage0", "mesh_0.ply")):
 main([root, "--workspace", ws, "--data_format", "colmap",
       "--stage", "1", "--bound", "4", "--scale", "1", "--dt_gamma", "0.0078",
       "--iters", "800", "--refine",
-      "--texture_size", "1024", "--s1_alpha_eval", "aa",
+      "--texture_size", "1024", 
       "--n_eval", "2", "--n_ckpt", "2", "--test_no_video"])
 print("COLMAP ALL DONE %.0fs" % (time.time() - t0), flush=True)
 

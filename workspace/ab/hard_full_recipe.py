@@ -40,6 +40,6 @@ print("HARD STAGE0 DONE %.0fs" % (time.time() - t0), flush=True)
 main([root, "--workspace", ws,
       "--stage", "1", "--bound", "1", "--scale", "0.8", "--dt_gamma", "0",
       "--iters", "4000", "--refine",
-      "--texture_size", "2048", "--s1_alpha_eval", "aa",
+      "--texture_size", "2048", 
       "--n_eval", "4", "--n_ckpt", "2", "--test_no_video"])
 print("HARD ALL DONE %.0fs" % (time.time() - t0), flush=True)

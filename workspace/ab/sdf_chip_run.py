@@ -7,7 +7,7 @@ convergence, then reports:
   - stage-0 test PSNR,
   - chamfer-style |analytic sdf| stats of the exported mesh vertices,
   - stage-1 final eval PSNR (remesh-only refine).
-Results snapshot into workspace/validation/round3/sdf_chip.json so a
+Results snapshot into workspace/validation/round4/sdf_chip.json so a
 container reset cannot lose the evidence.
 """
 import sys
@@ -26,7 +26,7 @@ from nerf2mesh_tpu.main import main
 
 root = "/root/repo/workspace/runs/sdf_scene"
 ws = "/root/repo/workspace/runs/ws_sdf"
-snap = "/root/repo/workspace/validation/round3"
+snap = "/root/repo/workspace/validation/round4"
 os.makedirs(snap, exist_ok=True)
 
 if not os.path.exists(os.path.join(root, "transforms_train.json")):
@@ -68,7 +68,7 @@ print("SDF chamfer probe:", json.dumps(stats), flush=True)
 main([root, "--workspace", ws, "--sdf",
       "--stage", "1", "--bound", "1", "--scale", str(SCALE),
       "--dt_gamma", "0", "--iters", "1000", "--refine",
-      "--texture_size", "1024", "--s1_alpha_eval", "aa",
+      "--texture_size", "1024", 
       "--n_eval", "2", "--n_ckpt", "2", "--test_no_video"])
 print("SDF ALL DONE %.0fs" % (time.time() - t0), flush=True)
 

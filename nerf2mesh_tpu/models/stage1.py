@@ -160,7 +160,7 @@ def init_offsets(mesh: Stage1Mesh) -> jax.Array:
 def snap_to_apparent_surface(params, verts: np.ndarray, tris: np.ndarray,
                              net_spec, band: float,
                              n_samples: int = 32,
-                             chunk: int = 1 << 17,
+                             chunk: int = 4096,
                              sigma_fn=None) -> np.ndarray:
     """Move vertices onto the stage-0 field's APPARENT surface: the
     volume-render expected depth along each vertex normal.
@@ -218,14 +218,22 @@ def snap_to_apparent_surface(params, verts: np.ndarray, tris: np.ndarray,
         new_v = jnp.where((wsum > 0.3)[:, None], vc + et[:, None] * n_o, vc)
         return new_v, wsum
 
+    # small fixed-size chunks: the exact-encode intermediate for a probe of
+    # V verts is V*n_samples points and its TPU tile padding OOMs past ~1e6
+    # points (round-4 crash: 44k verts in one chunk -> 17.4 GB alloc); the
+    # last partial chunk is zero-padded so every probe call reuses one jit.
     out = np.empty_like(v)
     moved = 0
     for c0 in range(0, len(v), chunk):
-        vc = jnp.asarray(v[c0:c0 + chunk])
-        nc = jnp.asarray(nrm[c0:c0 + chunk])
-        nv, ws = probe(params, vc, nc)
-        out[c0:c0 + chunk] = np.asarray(nv)
-        moved += int((np.asarray(ws) > 0.3).sum())
+        vb = v[c0:c0 + chunk]
+        nb = nrm[c0:c0 + chunk]
+        n_real = len(vb)
+        if n_real < chunk:
+            vb = np.concatenate([vb, np.zeros((chunk - n_real, 3), np.float32)])
+            nb = np.concatenate([nb, np.zeros((chunk - n_real, 3), np.float32)])
+        nv, ws = probe(params, jnp.asarray(vb), jnp.asarray(nb))
+        out[c0:c0 + n_real] = np.asarray(nv)[:n_real]
+        moved += int((np.asarray(ws)[:n_real] > 0.3).sum())
     d = np.linalg.norm(out - v, axis=-1)
     print(f"[snap_to_apparent_surface] moved {moved}/{len(v)} vertices, "
           f"|d| mean {d.mean():.5f} p90 {np.percentile(d, 90):.5f} "

@@ -39,7 +39,7 @@ print("HARD STAGE0 DONE %.0fs" % (time.time() - t0), flush=True)
 # face budget + supersampled eval; lr_vert 1e-4 under the boosted schedule)
 main([root, "--workspace", ws,
       "--stage", "1", "--bound", "1", "--scale", "0.8", "--dt_gamma", "0",
-      "--iters", "4000", "--refine",
+      "--iters", "2500", "--refine",
       "--texture_size", "2048", 
       "--n_eval", "4", "--n_ckpt", "2", "--test_no_video"])
 print("HARD ALL DONE %.0fs" % (time.time() - t0), flush=True)

@@ -866,14 +866,62 @@ def splat_encode_raw(table: jax.Array, x01: jax.Array, spec: HashGridSpec,
         for i, l in enumerate(wl):
             by_level[l] = full_ws[:, i]
 
-    if k_levels:
+    if k_levels and stochastic:
+        # TRAIN-ONLY unbiased 1-corner residual for the kernel levels: the
+        # in-window bulk stays exact (Pallas kernel), and the out-of-window
+        # corners are estimated by sampling ONE of them per (point, level)
+        # with probability proportional to its weight (contribution =
+        # total_residual_weight * value; E[.] = exact residual).  This
+        # removes the budget/cond/compaction machinery whose jnp.nonzero
+        # over the [N, L, 8] mask lowers to a 33.5M-row serial scatter —
+        # ~335 ms/step, the round-4 trace's dominant op — and whose
+        # overflow fallback (taken for most of training, when residual
+        # rates are high) costs a 14.7M-row gather fwd + 3 x 14.7M-row
+        # scatter bwd.  Residual traffic drops to N*Lk rows each way.
+        Lk = len(k_levels)
+        x_t = tiles.transpose(0, 2, 1)                           # [T,3,128]
+        x_t = jnp.pad(x_t, ((0, 0), (0, 5), (0, 0))).reshape(T * 8, TILE)
+        bases = jnp.stack([bases_all[l] for l in k_levels])
+        rows = jnp.stack([rows_all[l] for l in k_levels])
+        k = _inwin(to_splat(table, spec), x_t, bases, rows, spec,
+                   k_levels, interpret)
+        kf = k.reshape(Lk, T, 8, TILE)[:, :, :C]
+        kf = kf.transpose(1, 3, 0, 2).reshape(N, Lk, C)
+
+        xb = jax.lax.bitcast_convert_type(xc, jnp.uint32)        # [N, 3]
+        hsh = (xb[:, 0] * jnp.uint32(_PRIMES[0])
+               ^ xb[:, 1] * jnp.uint32(_PRIMES[1])
+               ^ xb[:, 2] * jnp.uint32(_PRIMES[2]))
+        idx3 = idx.reshape(N, L, 8)
+        idxr_l, wr_tot = [], []
+        for i, l in enumerate(k_levels):
+            # decorrelate from the gather-path picks via an extra xor salt
+            hl = hsh ^ jnp.uint32(((l * 0x9E3779B9) ^ 0xA5A5A5A5)
+                                  & 0xFFFFFFFF)
+            u = ((hl >> 8) & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65536.0
+            w8 = w3[:, l]                                        # residual w
+            cdf = jnp.cumsum(w8, axis=-1)
+            total = cdf[:, -1]
+            kp = jnp.minimum(
+                jnp.sum((u * total)[:, None] >= cdf, axis=-1), 7)
+            onehot = (jnp.arange(8)[None] == kp[:, None])
+            idxr_l.append(jnp.sum(jnp.where(onehot, idx3[:, l], 0), axis=-1))
+            wr_tot.append(total)
+        idx_r = jnp.stack(idxr_l, axis=1).reshape(-1)            # [N*Lk]
+        w_r = jnp.stack(wr_tot, axis=1).reshape(-1)
+        vals = gather_rows(table, idx_r)                         # [N*Lk, C]
+        kf = kf + (w_r[:, None] * vals).reshape(N, Lk, C)
+        for i, l in enumerate(k_levels):
+            by_level[l] = kf[:, i]
+    elif k_levels:
+        Lk = len(k_levels)
         kmask = jnp.asarray([l in k_levels for l in range(L)])
         k_count = jnp.sum(jnp.where(kmask, resid_counts, 0))
         B = int(resid_budget)
-        # level id -> kernel slot (gather levels park at slot 0 with w=0)
-        lmap = np.zeros((L,), np.int32)
-        for i, l in enumerate(k_levels):
-            lmap[l] = i
+        # k-level-stacked residual mask/indices: [N, Lk, 8] (NOT the full
+        # [N, L, 8] — halves the compaction volume at the default routing)
+        idx_k3 = jnp.stack([idx.reshape(N, L, 8)[:, l] for l in k_levels], 1)
+        wk3 = jnp.stack([w3[:, l] for l in k_levels], 1)
 
         def fast_branch(table):
             # kernel point layout: [T*8, 128], xyz in sublanes 0..2
@@ -883,28 +931,26 @@ def splat_encode_raw(table: jax.Array, x01: jax.Array, spec: HashGridSpec,
             rows = jnp.stack([rows_all[l] for l in k_levels])
             k = _inwin(to_splat(table, spec), x_t, bases, rows, spec,
                        k_levels, interpret)
-            kf = k.reshape(len(k_levels), T, 8, TILE)[:, :, :C]
-            kf = kf.transpose(1, 3, 0, 2).reshape(N, len(k_levels), C)
+            kf = k.reshape(Lk, T, 8, TILE)[:, :, :C]
+            kf = kf.transpose(1, 3, 0, 2).reshape(N, Lk, C)
 
             # budgeted exact residual over kernel levels only
-            wk = jnp.where(kmask[None, :, None], w3, 0.0).reshape(-1)
+            wk = wk3.reshape(-1)
             (ids,) = jnp.nonzero(wk != 0.0, size=B, fill_value=0)
             valid = (jnp.arange(B) < k_count).astype(jnp.float32)
             w_r = jnp.take(wk, ids) * valid                      # [B]
-            idx_r = jnp.take(idx.reshape(-1), ids)
-            p_r = ids // (L * 8)
-            l_r = jnp.take(jnp.asarray(lmap), (ids // 8) % L)
+            idx_r = jnp.take(idx_k3.reshape(-1), ids)
+            p_r = ids // (Lk * 8)
+            l_r = (ids // 8) % Lk
             vals = jnp.take(table, idx_r, axis=0)                # [B, C]
             return kf.at[p_r, l_r].add(w_r[:, None] * vals)
 
         def slow_branch(table):
-            idx_k = jnp.concatenate(
-                [idx.reshape(N, L, 8)[:, l] for l in k_levels],
-                axis=1).reshape(-1)
+            idx_k = idx_k3.reshape(-1)
             w_k = jnp.concatenate(
                 [wa3[:, l] for l in k_levels], axis=1).reshape(-1)
             vals = gather_rows(table, idx_k)
-            return (w_k[:, None] * vals).reshape(N, len(k_levels), 8, C).sum(2)
+            return (w_k[:, None] * vals).reshape(N, Lk, 8, C).sum(2)
 
         kf = jax.lax.cond(k_count <= B, fast_branch, slow_branch, table)
         for i, l in enumerate(k_levels):

@@ -161,6 +161,7 @@ def snap_to_apparent_surface(params, verts: np.ndarray, tris: np.ndarray,
                              net_spec, band: float,
                              n_samples: int = 32,
                              chunk: int = 4096,
+                             passes: int = 1,
                              sigma_fn=None) -> np.ndarray:
     """Move vertices onto the stage-0 field's APPARENT surface: the
     volume-render expected depth along each vertex normal.
@@ -180,6 +181,13 @@ def snap_to_apparent_surface(params, verts: np.ndarray, tris: np.ndarray,
     Vertices whose probe accumulates < 0.3 opacity (open space, e.g. culled
     geometry) stay put.  Normals are auto-oriented per vertex by comparing
     sigma at the two band endpoints.
+
+    With passes > 1, the probe repeats with a 3x-narrower band centered on
+    the updated positions each time (coarse-to-fine).  Round 4 measured the
+    capstone mesh mean 0.031 / p99 0.079 ngp units off the true surface
+    while the single 4-voxel-band pass could only move 0.0077: the window
+    must COVER the error for E[t] to reach it — callers should pass a band
+    >= ~2x the expected placement error and passes=2-3.
     """
     if sigma_fn is None:
         from .network import density
@@ -196,48 +204,61 @@ def snap_to_apparent_surface(params, verts: np.ndarray, tris: np.ndarray,
     np.add.at(nrm, t[:, 2], fn)
     nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
 
-    offs = np.linspace(band, -band, n_samples).astype(np.float32)
-    dt = 2.0 * band / n_samples
+    def make_probe(b: float, ns: int):
+        offs = jnp.asarray(np.linspace(b, -b, ns).astype(np.float32))
+        dt = 2.0 * b / ns
 
-    @jax.jit
-    def probe(params, vc, nc):
-        # orientation check: sigma should be lower on the outward side
-        s_out = sigma_fn(params, vc + band * nc)
-        s_in = sigma_fn(params, vc - band * nc)
-        flip = (s_out > s_in)[:, None]
-        n_o = jnp.where(flip, -nc, nc)
-        pts = vc[:, None, :] + offs[None, :, None] * n_o[:, None, :]
-        sig = sigma_fn(params, pts.reshape(-1, 3))
-        sig = sig.reshape(vc.shape[0], n_samples)
-        alpha = 1.0 - jnp.exp(-jnp.maximum(sig, 0.0) * dt)
-        T = jnp.cumprod(1.0 - alpha + 1e-7, axis=-1)
-        T = jnp.concatenate([jnp.ones_like(T[:, :1]), T[:, :-1]], axis=-1)
-        w = T * alpha
-        wsum = jnp.sum(w, axis=-1)
-        et = jnp.sum(w * offs[None, :], axis=-1) / jnp.maximum(wsum, 1e-6)
-        new_v = jnp.where((wsum > 0.3)[:, None], vc + et[:, None] * n_o, vc)
-        return new_v, wsum
+        @jax.jit
+        def probe(params, vc, nc):
+            # orientation check: sigma should be lower on the outward side
+            s_out = sigma_fn(params, vc + b * nc)
+            s_in = sigma_fn(params, vc - b * nc)
+            flip = (s_out > s_in)[:, None]
+            n_o = jnp.where(flip, -nc, nc)
+            pts = vc[:, None, :] + offs[None, :, None] * n_o[:, None, :]
+            sig = sigma_fn(params, pts.reshape(-1, 3))
+            sig = sig.reshape(vc.shape[0], ns)
+            alpha = 1.0 - jnp.exp(-jnp.maximum(sig, 0.0) * dt)
+            T = jnp.cumprod(1.0 - alpha + 1e-7, axis=-1)
+            T = jnp.concatenate([jnp.ones_like(T[:, :1]), T[:, :-1]], axis=-1)
+            w = T * alpha
+            wsum = jnp.sum(w, axis=-1)
+            et = jnp.sum(w * offs[None, :], axis=-1) / jnp.maximum(wsum, 1e-6)
+            new_v = jnp.where((wsum > 0.3)[:, None],
+                              vc + et[:, None] * n_o, vc)
+            return new_v, wsum
+
+        return probe
 
     # small fixed-size chunks: the exact-encode intermediate for a probe of
     # V verts is V*n_samples points and its TPU tile padding OOMs past ~1e6
     # points (round-4 crash: 44k verts in one chunk -> 17.4 GB alloc); the
     # last partial chunk is zero-padded so every probe call reuses one jit.
-    out = np.empty_like(v)
-    moved = 0
-    for c0 in range(0, len(v), chunk):
-        vb = v[c0:c0 + chunk]
-        nb = nrm[c0:c0 + chunk]
-        n_real = len(vb)
-        if n_real < chunk:
-            vb = np.concatenate([vb, np.zeros((chunk - n_real, 3), np.float32)])
-            nb = np.concatenate([nb, np.zeros((chunk - n_real, 3), np.float32)])
-        nv, ws = probe(params, jnp.asarray(vb), jnp.asarray(nb))
-        out[c0:c0 + n_real] = np.asarray(nv)[:n_real]
-        moved += int((np.asarray(ws)[:n_real] > 0.3).sum())
+    out = np.array(v)
+    for p in range(max(int(passes), 1)):
+        b = band / (3.0 ** p)
+        probe = make_probe(b, n_samples)
+        cur = np.array(out)
+        moved = 0
+        for c0 in range(0, len(v), chunk):
+            vb = cur[c0:c0 + chunk]
+            nb = nrm[c0:c0 + chunk]
+            n_real = len(vb)
+            if n_real < chunk:
+                vb = np.concatenate(
+                    [vb, np.zeros((chunk - n_real, 3), np.float32)])
+                nb = np.concatenate(
+                    [nb, np.zeros((chunk - n_real, 3), np.float32)])
+            nv, ws = probe(params, jnp.asarray(vb), jnp.asarray(nb))
+            out[c0:c0 + n_real] = np.asarray(nv)[:n_real]
+            moved += int((np.asarray(ws)[:n_real] > 0.3).sum())
+        d = np.linalg.norm(out - cur, axis=-1)
+        print(f"[snap_to_apparent_surface] pass {p+1}/{passes}: moved "
+              f"{moved}/{len(v)} vertices, |d| mean {d.mean():.5f} "
+              f"p90 {np.percentile(d, 90):.5f} (band {b:.4f})")
     d = np.linalg.norm(out - v, axis=-1)
-    print(f"[snap_to_apparent_surface] moved {moved}/{len(v)} vertices, "
-          f"|d| mean {d.mean():.5f} p90 {np.percentile(d, 90):.5f} "
-          f"(band {band:.4f})")
+    print(f"[snap_to_apparent_surface] total |d| mean {d.mean():.5f} "
+          f"p90 {np.percentile(d, 90):.5f}")
     return out
 
 

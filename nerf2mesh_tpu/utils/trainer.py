@@ -1427,11 +1427,16 @@ class Trainer:
             self._s1_want_snap = False
             mesh = self.stage1_mesh
             v1 = int(mesh.v_cumsum[1])
-            band = 4.0 * (2.0 * cfg.real_bound / max(cfg.mcubes_reso, 1))
+            # the window must COVER the placement error for E[t] to reach
+            # it: the round-4 oracle probe measured mcubes verts mean 0.031
+            # p99 0.079 ngp units off the true surface (~8-20 voxels at
+            # reso 512), while the old 4-voxel band could only recover
+            # 0.0077.  12 voxels + 3 shrinking passes reaches p99.
+            band = 12.0 * (2.0 * cfg.real_bound / max(cfg.mcubes_reso, 1))
             mesh.vertices[:v1] = snap_to_apparent_surface(
                 self.state.params, mesh.vertices[:v1],
                 mesh.triangles[:int(mesh.f_cumsum[1])], self.net_spec,
-                band=band)
+                band=band, n_samples=48, passes=3)
             self.mesh_v = jnp.asarray(pad_stage1_buffers(mesh)["vertices"])
         last = None
         for step in range(start, steps):

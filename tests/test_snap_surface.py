@@ -53,3 +53,24 @@ def test_snap_handles_inverted_normals():
     b = snap_to_apparent_surface(None, v, f_flipped, None, band=0.08,
                                  n_samples=64, sigma_fn=sigma_fn)
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_snap_multipass_converges_from_far():
+    """passes=3 coarse-to-fine: a mesh ~0.09 off the surface (beyond what a
+    narrow band reaches) converges to sub-voxel accuracy when the first
+    pass's band covers the error (round-4 capstone fix)."""
+    R = 0.4
+    v, f = _icosphere(2)
+    v = v * (0.49 / 0.5)                      # mesh at r=0.49, error 0.09
+
+    def sigma_fn(params, x):
+        r = jnp.linalg.norm(x, axis=-1)
+        return 300.0 / (1.0 + jnp.exp((r - R) / 0.004))   # soft ramp
+
+    out = snap_to_apparent_surface(None, v, f, None, band=0.12,
+                                   n_samples=24, passes=3,
+                                   sigma_fn=sigma_fn)
+    r_new = np.linalg.norm(out, axis=-1)
+    err = np.abs(r_new - R)
+    assert err.mean() < 0.008, err.mean()
+    assert err.max() < 0.02, err.max()

@@ -271,7 +271,8 @@ def _bucket(n: int, min_b: int = 1024, cap: int = 0) -> int:
 
 
 def pad_stage1_buffers(mesh: Stage1Mesh, min_b: int = 1024,
-                       face_cap: int = 1 << 18) -> Dict[str, np.ndarray]:
+                       face_cap: int = 1 << 18,
+                       min_f: int = 0) -> Dict[str, np.ndarray]:
     """Pad mesh buffers to power-of-two size buckets so stage-1 refines
     (6 topology changes per run, renderer.py:209-294) keep array SHAPES
     stable and the jitted step/eval functions are reused instead of
@@ -289,10 +290,15 @@ def pad_stage1_buffers(mesh: Stage1Mesh, min_b: int = 1024,
     """
     V, F = mesh.num_vertices, mesh.num_faces
     E, P = len(mesh.edges), len(mesh.face_pairs)
-    Vp = _bucket(V, min_b)
-    Fp = _bucket(F, min_b, cap=face_cap)
-    Ep = _bucket(E, min_b)
-    Pp = _bucket(P, min_b)
+    # min_f floors the buckets at the refine-growth face budget so a base
+    # mesh that starts under budget (headroom for error-driven subdivision)
+    # doesn't cross bucket edges mid-run — each crossing recompiles the
+    # step (minutes on the axon backend).  Vertex/edge/pair floors follow
+    # Euler estimates (V ~ F/2, E ~ P ~ 3F/2).
+    Vp = _bucket(max(V, min_f // 2), min_b)
+    Fp = _bucket(max(F, min_f), min_b, cap=max(face_cap, F))
+    Ep = _bucket(max(E, min_f * 3 // 2), min_b)
+    Pp = _bucket(max(P, min_f * 3 // 2), min_b)
 
     verts = np.zeros((Vp, 3), np.float32)
     verts[:V] = mesh.vertices
@@ -533,6 +539,11 @@ def refine_and_decimate(
     err = err[:f1]
     cnt_mask = cnt_mask[:f1]
 
+    # hard face budget (computed early: it caps the subdivide set)
+    budget_all = max_faces if max_faces > 0 else (1 << 18)
+    n_outer_f = mesh.f_cumsum[-1] - mesh.f_cumsum[1]
+    inner_cap = max(budget_all - int(n_outer_f), 1024)
+
     if cfg.sdf or not cnt_mask.any():
         mask = np.ones_like(err)
     else:
@@ -541,6 +552,25 @@ def refine_and_decimate(
         mask = np.zeros_like(err)
         mask[(err > thresh_refine) & cnt_mask] = 2
         mask[(err < thresh_decimate) & cnt_mask] = 1
+        # cap the subdivide set to the budget HEADROOM: midpoint subdivision
+        # grows each selected face ~4x, and overshooting triggers a GLOBAL
+        # quadric decimate-back that undoes the error-targeted refinement
+        # and churns vertex placement mesh-wide (the v4 capstone subdivided
+        # +70-110k faces per refine and decimated straight back every time;
+        # its evals only climbed once refines stopped).  Headroom credits
+        # the faces step-1 decimation is about to free.  Keep the
+        # highest-error faces when trimming.
+        n_sub = int((mask == 2).sum())
+        freed = int(cfg.refine_decimate_ratio * (mask == 1).sum())
+        allowed = max(int((inner_cap * 0.97 - f1 + freed) // 3), 0)
+        if n_sub > allowed:
+            sub_ids = np.where(mask == 2)[0]
+            keep = sub_ids[np.argsort(err[sub_ids])[::-1][:allowed]]
+            mask[sub_ids] = 0
+            mask[keep] = 2
+            print(f"[refine_and_decimate] capping subdivide set "
+                  f"{n_sub} -> {allowed} (inner faces {f1}, "
+                  f"budget {inner_cap})")
 
     out_dir = os.path.join(workspace, "mesh_stage0")
     os.makedirs(out_dir, exist_ok=True)
@@ -549,8 +579,8 @@ def refine_and_decimate(
     # hard face budget: the rasterizer compacts crop-overlapping triangles
     # to K<=2^18 slots; a mesh larger than that guarantees dropped triangles
     # on object-filling crops (trainer._raster_spec)
-    budget = max_faces if max_faces > 0 else (1 << 18)
-    n_outer = mesh.f_cumsum[-1] - mesh.f_cumsum[1]
+    budget = budget_all
+    n_outer = n_outer_f
     verts, tris = [], []
     v_cumsum, f_cumsum = [0], [0]
     for cas in range(cascades):

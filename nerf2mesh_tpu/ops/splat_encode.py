@@ -915,13 +915,21 @@ def splat_encode_raw(table: jax.Array, x01: jax.Array, spec: HashGridSpec,
             by_level[l] = kf[:, i]
     elif k_levels:
         Lk = len(k_levels)
-        kmask = jnp.asarray([l in k_levels for l in range(L)])
-        k_count = jnp.sum(jnp.where(kmask, resid_counts, 0))
-        B = int(resid_budget)
         # k-level-stacked residual mask/indices: [N, Lk, 8] (NOT the full
         # [N, L, 8] — halves the compaction volume at the default routing)
         idx_k3 = jnp.stack([idx.reshape(N, L, 8)[:, l] for l in k_levels], 1)
         wk3 = jnp.stack([w3[:, l] for l in k_levels], 1)
+        # compaction granularity is (point, level) ROWS, not corners: the
+        # jnp.nonzero compaction lowers to one serial scatter row per MASK
+        # element, so an [N, Lk] mask costs 8x less than [N, Lk, 8]; each
+        # compacted row gathers all 8 of its corners (in-window corners
+        # carry w=0 and add nothing — gathers are cheap, the scatter isn't).
+        has_r = jnp.any(wk3 != 0.0, axis=-1)                     # [N, Lk]
+        pl_count = jnp.sum(has_r)
+        # per-corner budget -> row budget: residual rows average ~2-4 live
+        # corners, so B//2 rows cover >= the old corner capacity while the
+        # compaction scatter shrinks 16x
+        B = max(int(resid_budget) // 2, 1024)
 
         def fast_branch(table):
             # kernel point layout: [T*8, 128], xyz in sublanes 0..2
@@ -935,15 +943,15 @@ def splat_encode_raw(table: jax.Array, x01: jax.Array, spec: HashGridSpec,
             kf = kf.transpose(1, 3, 0, 2).reshape(N, Lk, C)
 
             # budgeted exact residual over kernel levels only
-            wk = wk3.reshape(-1)
-            (ids,) = jnp.nonzero(wk != 0.0, size=B, fill_value=0)
-            valid = (jnp.arange(B) < k_count).astype(jnp.float32)
-            w_r = jnp.take(wk, ids) * valid                      # [B]
-            idx_r = jnp.take(idx_k3.reshape(-1), ids)
-            p_r = ids // (Lk * 8)
-            l_r = (ids // 8) % Lk
-            vals = jnp.take(table, idx_r, axis=0)                # [B, C]
-            return kf.at[p_r, l_r].add(w_r[:, None] * vals)
+            (ids,) = jnp.nonzero(has_r.reshape(-1), size=B, fill_value=0)
+            valid = (jnp.arange(B) < pl_count).astype(jnp.float32)
+            w_r = jnp.take(wk3.reshape(-1, 8), ids, axis=0) \
+                * valid[:, None]                                 # [B, 8]
+            idx_r = jnp.take(idx_k3.reshape(-1, 8), ids, axis=0)
+            vals = jnp.take(table, idx_r.reshape(-1),
+                            axis=0).reshape(B, 8, C)
+            contrib = jnp.sum(w_r[..., None] * vals, axis=1)     # [B, C]
+            return kf.at[ids // Lk, ids % Lk].add(contrib)
 
         def slow_branch(table):
             idx_k = idx_k3.reshape(-1)
@@ -952,7 +960,7 @@ def splat_encode_raw(table: jax.Array, x01: jax.Array, spec: HashGridSpec,
             vals = gather_rows(table, idx_k)
             return (w_k[:, None] * vals).reshape(N, Lk, 8, C).sum(2)
 
-        kf = jax.lax.cond(k_count <= B, fast_branch, slow_branch, table)
+        kf = jax.lax.cond(pl_count <= B, fast_branch, slow_branch, table)
         for i, l in enumerate(k_levels):
             by_level[l] = kf[:, i]
 

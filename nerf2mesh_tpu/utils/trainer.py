@@ -1275,7 +1275,11 @@ class Trainer:
         compile on this backend)."""
         from ..models.stage1 import pad_stage1_buffers
         mesh = self.stage1_mesh
-        pad = pad_stage1_buffers(mesh)
+        # floor buckets at the refine-growth budget (headroom start): see
+        # pad_stage1_buffers(min_f)
+        min_f = (getattr(self, "_s1_face_budget", 0)
+                 if self.cfg.refine else 0)
+        pad = pad_stage1_buffers(mesh, min_f=min_f)
         real_shape = (mesh.num_vertices, mesh.num_faces)
         Vp = len(pad["vertices"])
         params = dict(self.state.params)
@@ -1429,15 +1433,22 @@ class Trainer:
             v1 = int(mesh.v_cumsum[1])
             # the window must COVER the placement error for E[t] to reach
             # it: the round-4 oracle probe measured mcubes verts mean 0.031
-            # p99 0.079 ngp units off the true surface (~8-20 voxels at
-            # reso 512), while the old 4-voxel band could only recover
-            # 0.0077.  12 voxels + 3 shrinking passes reaches p99.
-            band = 12.0 * (2.0 * cfg.real_bound / max(cfg.mcubes_reso, 1))
+            # p99 0.079 ngp units off the true surface (the apparent-surface
+            # offset is a density-ramp property, roughly independent of the
+            # marching resolution), while the old 4-voxel band could only
+            # recover 0.0077.  Absolute 0.09 floor covers p99; 3 shrinking
+            # passes then converge to sub-voxel.  The inner cascade spans
+            # [-1,1] ngp regardless of bound, so the floor is scale-safe.
+            band = max(12.0 * 2.0 * cfg.real_bound / max(cfg.mcubes_reso, 1),
+                       0.09)
             mesh.vertices[:v1] = snap_to_apparent_surface(
                 self.state.params, mesh.vertices[:v1],
                 mesh.triangles[:int(mesh.f_cumsum[1])], self.net_spec,
-                band=band, n_samples=48, passes=3)
-            self.mesh_v = jnp.asarray(pad_stage1_buffers(mesh)["vertices"])
+                band=band, n_samples=64, passes=3)
+            min_f = (getattr(self, "_s1_face_budget", 0)
+                     if self.cfg.refine else 0)
+            self.mesh_v = jnp.asarray(
+                pad_stage1_buffers(mesh, min_f=min_f)["vertices"])
         last = None
         for step in range(start, steps):
             if cfg.refine and (step + 1) in cfg.refine_steps:

@@ -11,6 +11,7 @@ Stage-0 eval reads 40.5 dB; stage-1 train-crop PSNR ~33.5; stage-1 val eval
 
 Usage: python workspace/ab/cap_diag.py [n_views]
 """
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -18,7 +19,7 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 ROOT = "/root/repo/workspace/runs/scene96aa"
-WS = "/root/repo/workspace/runs/ws96v2"
+WS = os.environ.get("CAP_WS", "/root/repo/workspace/runs/ws96v2")
 NV = int(sys.argv[1]) if len(sys.argv) > 1 else 2
 
 

@@ -404,6 +404,10 @@ def rasterize_crop(
         "tri_sx": ktx,
         "tri_sy": kty,
         "overflow": overflow + frag_overflow,
+        # live-fragment count (pre-budget): sizes max_frags from data
+        # instead of the per-face estimate (stage-1 step attribution)
+        "n_live": n_live,
+        "n_overlap": n_overlap,
     }
 
 

@@ -437,6 +437,8 @@ def render_stage1_crop(
         "weights_sum": weights_sum,
         "trig_id": rast["tri_id"],
         "overflow": rast["overflow"],
+        "n_live": rast["n_live"],
+        "n_overlap": rast["n_overlap"],
     }
 
 

@@ -240,6 +240,9 @@ def make_stage1_crop_loss(cfg: Config, nspec, rspec):
             # triangles dropped past the raster compaction budget —
             # nonzero means the render (and its gradients) had holes
             "overflow": out["overflow"],
+            # live fragments / overlapping tris: budget-occupancy telemetry
+            "n_live": out["n_live"],
+            "n_overlap": out["n_overlap"],
         }
         return loss, (metrics, out["trig_id"], loss_pix)
 

@@ -1314,6 +1314,15 @@ class Trainer:
     def _build_stage1_step(self):
         cfg = self.cfg
         nspec = self.net_spec
+        if (cfg.stochastic_fine and not cfg.sdf
+                and not cfg.enable_offset_nerf_grad):
+            # same unbiased 1-corner encode the stage-0 train step uses
+            # (train only — the eval/export paths stay exact); the exact
+            # path's budgeted-residual cond is ~150-200 ms of the 1.9 s
+            # stage-1 step.  Excluded when offsets take gradients THROUGH
+            # the field query (enable_offset_nerf_grad / sdf): the
+            # estimator has no positional gradient for sampled corners.
+            nspec = dataclasses.replace(nspec, encode_stochastic=True)
         rspec = self._raster_spec()
         optimizer = self.optimizer
 

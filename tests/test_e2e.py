@@ -142,7 +142,7 @@ def test_stage1_quality_tracks_stage0(scene_root, workspace):
     r0 = t0.evaluate(ds_val, name="gate_s0")
 
     cfg1 = _cfg(scene_root, workspace,
-                ["--iters", "300", "--stage", "1", "--s1_alpha_eval", "aa"])
+                ["--iters", "300", "--stage", "1"])
     ds = load_nerf_dataset(cfg1, "train")
     t1 = Trainer(cfg1)
     t1.setup_stage1(ds)                      # before restore (main.py order)

@@ -402,7 +402,13 @@ def render_stage1_crop(
     # outside winners (extrapolated rim pixels), which dilates silhouettes
     # outward by ~1px (the round-2 capstone's systematic rim error).
     if alpha_mode == "area":
-        alpha = rast["area"][..., None]
+        # VALUE: 4x4-subsample true union (immune to the fold double-
+        # counting the area-sum suffers on real stage-1 meshes — round-4
+        # oracle-v2 probe).  GRADIENT: the analytic area (dense, exact at
+        # every rim fragment).  Straight-through composite.
+        a_sum = rast["area"][..., None]
+        alpha = a_sum + jax.lax.stop_gradient(
+            rast["union"][..., None] - a_sum)
     elif alpha_mode in ("aa", "hard"):
         alpha = rast["strict"].astype(jnp.float32)[..., None]
     elif alpha_mode == "soft":
@@ -544,35 +550,18 @@ def refine_and_decimate(
     # hard face budget (computed early: it caps the subdivide set)
     budget_all = max_faces if max_faces > 0 else (1 << 18)
     n_outer_f = mesh.f_cumsum[-1] - mesh.f_cumsum[1]
-    inner_cap = max(budget_all - int(n_outer_f), 1024)
 
     if cfg.sdf or not cnt_mask.any():
         mask = np.ones_like(err)
+        sub_ids_sorted = np.empty((0,), np.int64)
     else:
         thresh_refine = np.percentile(err[cnt_mask], 90)
         thresh_decimate = np.percentile(err[cnt_mask], 50)
         mask = np.zeros_like(err)
         mask[(err > thresh_refine) & cnt_mask] = 2
         mask[(err < thresh_decimate) & cnt_mask] = 1
-        # cap the subdivide set to the budget HEADROOM: midpoint subdivision
-        # grows each selected face ~4x, and overshooting triggers a GLOBAL
-        # quadric decimate-back that undoes the error-targeted refinement
-        # and churns vertex placement mesh-wide (the v4 capstone subdivided
-        # +70-110k faces per refine and decimated straight back every time;
-        # its evals only climbed once refines stopped).  Headroom credits
-        # the faces step-1 decimation is about to free.  Keep the
-        # highest-error faces when trimming.
-        n_sub = int((mask == 2).sum())
-        freed = int(cfg.refine_decimate_ratio * (mask == 1).sum())
-        allowed = max(int((inner_cap * 0.97 - f1 + freed) // 3), 0)
-        if n_sub > allowed:
-            sub_ids = np.where(mask == 2)[0]
-            keep = sub_ids[np.argsort(err[sub_ids])[::-1][:allowed]]
-            mask[sub_ids] = 0
-            mask[keep] = 2
-            print(f"[refine_and_decimate] capping subdivide set "
-                  f"{n_sub} -> {allowed} (inner faces {f1}, "
-                  f"budget {inner_cap})")
+        sub_ids = np.where(mask == 2)[0]
+        sub_ids_sorted = sub_ids[np.argsort(err[sub_ids])[::-1]]
 
     out_dir = os.path.join(workspace, "mesh_stage0")
     os.makedirs(out_dir, exist_ok=True)
@@ -590,10 +579,6 @@ def refine_and_decimate(
         cf = (f[mesh.f_cumsum[cas]:mesh.f_cumsum[cas + 1]]
               - mesh.v_cumsum[cas])
         if cas == 0:
-            cv, cf = meshops.decimate_and_refine_mesh(
-                cv, cf, mask, decimate_ratio=cfg.refine_decimate_ratio,
-                refine_size=cfg.refine_size,
-                refine_remesh_size=cfg.refine_remesh_size)
             # multi-cascade scenes can have outer faces consuming most (or
             # more than) the budget — floor the inner share so decimate_mesh
             # never receives a non-positive target (ADVICE r3 #1)
@@ -602,6 +587,38 @@ def refine_and_decimate(
                 print(f"[refine_and_decimate] outer cascades use "
                       f"{int(n_outer)} of the {budget} face budget; flooring "
                       f"the inner budget at 1024")
+            # overshooting the budget triggers a GLOBAL quadric decimate-
+            # back that undoes the error-targeted refinement and churns
+            # vertex placement mesh-wide (the v4/v5 capstones subdivided
+            # +34-110k faces per refine and decimated straight back every
+            # time; eval dipped 1-2 dB after each refine and spent ~300-450
+            # steps healing).  Growth comes from BOTH the subdivide set
+            # (x4 per face) and the remesh of the decimated region
+            # (re-splits edges past 4/3*target), so cap by RETRY: shrink
+            # the subdivide set (highest-error kept), then drop the remesh,
+            # and only globally decimate as a last resort.
+            freed = int(cfg.refine_decimate_ratio * (mask == 1).sum())
+            allowed0 = max(int((inner_budget * 0.97 - len(cf) + freed) // 3),
+                           0)
+            attempts = [(allowed0, cfg.refine_remesh_size),
+                        (allowed0 // 4, cfg.refine_remesh_size),
+                        (allowed0 // 4, 0.0), (0, 0.0)]
+            cv0, cf0 = cv, cf
+            for allowed, remesh_size in attempts:
+                m = mask.copy()
+                if len(sub_ids_sorted) > allowed:
+                    m[sub_ids_sorted] = 0
+                    m[sub_ids_sorted[:allowed]] = 2
+                cv, cf = meshops.decimate_and_refine_mesh(
+                    cv0, cf0, m, decimate_ratio=cfg.refine_decimate_ratio,
+                    refine_size=cfg.refine_size,
+                    refine_remesh_size=remesh_size)
+                if len(cf) <= inner_budget:
+                    if (allowed, remesh_size) != attempts[0]:
+                        print(f"[refine_and_decimate] fit the budget with "
+                              f"subdiv={allowed} remesh={remesh_size} "
+                              f"({len(cf)}/{inner_budget} faces)")
+                    break
             if len(cf) > inner_budget:
                 print(f"[refine_and_decimate] {len(cf)} inner faces exceed "
                       f"the raster budget {inner_budget}; decimating back")

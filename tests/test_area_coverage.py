@@ -170,3 +170,34 @@ def test_area_rim_unbiased_on_disc():
     # the estimator itself must not add bias beyond that
     assert abs(err[rim].mean()) < 0.02, err[rim].mean()
     assert np.abs(err[rim]).mean() < 0.03, np.abs(err[rim]).mean()
+
+
+def test_union_immune_to_folded_overlap():
+    """A mesh fold (two coplanar same-depth layers over the same region)
+    must NOT double silhouette coverage: the area-SUM reads ~2x on partial
+    pixels, the 4x4-subsample union reads the true coverage (round-4
+    oracle-v2 probe: folded capstone rims read cov 0.95 vs true 0.48)."""
+    # one triangle covering the left half-ish of the crop, duplicated
+    x0a, y0a = ndc_of_px(2.0, 2.0)
+    x1a, y1a = ndc_of_px(17.5, 2.0)     # vertical edge at x=17.5 px
+    x2a, y2a = ndc_of_px(2.0, 30.0)
+    x3a, y3a = ndc_of_px(17.5, 30.0)
+    v = ortho_clip([[x0a, y0a, 0.0], [x1a, y1a, 0.0], [x2a, y2a, 0.0],
+                    [x3a, y3a, 0.0]])
+    quad = np.asarray([[0, 1, 2], [1, 3, 2]], np.int32)
+    tris1 = jnp.asarray(quad)
+    tris2 = jnp.asarray(np.concatenate([quad, quad]))   # folded duplicate
+
+    r1 = rasterize_crop(v, tris1, jnp.asarray([0, 0]), H, W, SPEC)
+    r2 = rasterize_crop(v, tris2, jnp.asarray([0, 0]), H, W, SPEC)
+    col = 17  # the partial column: true coverage 0.5
+    rows = slice(4, 28)
+    u1 = np.asarray(r1["union"])[rows, col]
+    u2 = np.asarray(r2["union"])[rows, col]
+    a2 = np.asarray(r2["area"])[rows, col]
+    np.testing.assert_allclose(u1, 0.5, atol=0.13)       # 1/16 quantization
+    np.testing.assert_allclose(u2, u1, atol=1e-6)        # union: no double
+    assert a2.mean() > 0.9, a2.mean()                    # sum: doubled
+
+    # interior pixels stay fully covered under union
+    assert np.asarray(r2["union"])[8, 8] == 1.0

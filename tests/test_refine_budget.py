@@ -1,0 +1,52 @@
+"""refine_and_decimate must NOT overshoot the face budget and trigger the
+global decimate-back (the v4/v5 capstone churn: +70-110k subdivided faces
+per refine, global quadric decimation straight back, eval dips of 1-2 dB
+after every refine).  The subdivide set is capped to the budget headroom
+(crediting faces the decimation step frees)."""
+import dataclasses
+
+import numpy as np
+
+from nerf2mesh_tpu.config import Config
+from nerf2mesh_tpu.models.stage1 import Stage1Mesh, refine_and_decimate
+from tests.test_stage1_padding import _icosphere
+
+
+def _mesh(sub):
+    v, f = _icosphere(sub)
+    return Stage1Mesh(vertices=v, triangles=f,
+                      v_cumsum=np.asarray([0, len(v)]),
+                      f_cumsum=np.asarray([0, len(f)]))
+
+
+def test_refine_at_budget_does_not_global_decimate(tmp_path, capsys):
+    mesh = _mesh(7)                        # 6912 faces
+    F = mesh.num_faces
+    budget = F                             # AT the budget, zero headroom
+    cfg = dataclasses.replace(Config(path="x"), iters=100).finalize()
+    rng = np.random.default_rng(0)
+    errors = rng.uniform(0.0, 1.0, F).astype(np.float32)
+    counts = np.ones(F, np.float32)
+
+    out = refine_and_decimate(mesh, np.zeros_like(mesh.vertices), errors,
+                              counts, cfg, str(tmp_path), max_faces=budget)
+    # headroom only from the decimation credit: growth stays within budget
+    assert out.num_faces <= budget, (out.num_faces, budget)
+    msgs = capsys.readouterr().out
+    assert "decimating back" not in msgs, msgs
+
+
+def test_refine_with_headroom_grows_toward_budget(tmp_path):
+    mesh = _mesh(7)
+    F = mesh.num_faces
+    budget = int(F * 1.5)
+    cfg = dataclasses.replace(Config(path="x"), iters=100).finalize()
+    rng = np.random.default_rng(1)
+    errors = rng.uniform(0.0, 1.0, F).astype(np.float32)
+    counts = np.ones(F, np.float32)
+
+    out = refine_and_decimate(mesh, np.zeros_like(mesh.vertices), errors,
+                              counts, cfg, str(tmp_path), max_faces=budget)
+    assert out.num_faces <= budget
+    # error-driven subdivision actually used some of the headroom
+    assert out.num_faces > F * 0.98, (out.num_faces, F)

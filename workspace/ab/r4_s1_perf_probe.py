@@ -109,7 +109,7 @@ except Exception as e:
 
 # ---- component microbenches -------------------------------------------------
 from nerf2mesh_tpu.models.rasterizer import rasterize_crop, transform_clip
-from nerf2mesh_tpu.models.network import field_rgb
+from nerf2mesh_tpu.models.network import rgb as field_rgb
 from nerf2mesh_tpu.models.stage1 import (laplacian_loss,
                                          normal_consistency_loss,
                                          edge_length_loss)

@@ -1,16 +1,19 @@
 #!/bin/bash
-# Round-4 combined queue v3 (reordered): capstone-v6 is the pivotal run
-# (snap-v2 + refine-cap + stochastic stage-1) — run it FIRST after the
-# capstone-v5 queue, then perf probes, then the breadth recipes.
-# Stop with: kill $(cat /tmp/r4comb.pid)
+# Round-4 combined queue v4: waits for the in-flight s1_perf probe, then
+# capstone-v6 (fresh ws96v6; snap-v2 + capped-retry refine + stochastic
+# stage-1, 3000 iters) -> diag -> eval timing -> breadth recipes.
+# Records its OWN pid (the $! of a nohup'd script under the harness shell
+# captured a wrapper pid — that orphaned the first v6 run).
+# Stop with: kill $(cat /tmp/r4comb.pid) + the child listed in $LOG.
 cd /root/repo
+echo $$ > /tmp/r4comb.pid
 LOG=workspace/runs/r4_comb.log
 
 wait_pid() { while kill -0 "$1" 2>/dev/null; do sleep 30; done; }
 
-if [ -f /tmp/r4seq2.pid ]; then
-  echo "=== waiting for capstone-v5 queue ($(cat /tmp/r4seq2.pid))" >> $LOG
-  wait_pid "$(cat /tmp/r4seq2.pid)"
+if [ -n "$WAIT_PID" ]; then
+  echo "=== waiting for pid $WAIT_PID $(date)" >> $LOG
+  wait_pid "$WAIT_PID"
 fi
 
 echo "=== capstone-v6 $(date)" >> $LOG
@@ -22,11 +25,6 @@ echo "=== cap_diag ws96v6 $(date)" >> $LOG
 CAP_WS=/root/repo/workspace/runs/ws96v6 timeout 3600 \
   python workspace/ab/cap_diag.py 2 > workspace/runs/cap_diag_v6.log 2>&1
 echo "=== cap_diag_v6 rc=$? $(date)" >> $LOG
-
-echo "=== r4_s1_perf_probe $(date)" >> $LOG
-timeout 4800 python workspace/ab/r4_s1_perf_probe.py \
-  > workspace/runs/s1_perf.log 2>&1
-echo "=== s1_perf rc=$? $(date)" >> $LOG
 
 echo "=== eval_timing_96aa $(date)" >> $LOG
 timeout 3600 python workspace/ab/eval_timing_96aa.py \

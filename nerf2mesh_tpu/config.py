@@ -75,6 +75,9 @@ class Config:
     # coverage + analytic edge antialiasing (dr.antialias analog); "hard" =
     # strict coverage only; "soft" = signed-distance sigmoid (legacy).
     s1_alpha: str = "area"
+    # stage-1 trains with the stochastic 1-corner encode (opt-in: the
+    # estimator noise lands undamped on single surface queries — v6 capstone)
+    s1_stochastic: bool = False
     s1_alpha_eval: str = "area"
     # stage-1 face budget as supersampled-pixels per face (2*H*W*ssaa^2 /
     # this); keeps triangles big enough that the antialias edge-crossing

@@ -1314,14 +1314,16 @@ class Trainer:
     def _build_stage1_step(self):
         cfg = self.cfg
         nspec = self.net_spec
-        if (cfg.stochastic_fine and not cfg.sdf
+        if (cfg.s1_stochastic and not cfg.sdf
                 and not cfg.enable_offset_nerf_grad):
-            # same unbiased 1-corner encode the stage-0 train step uses
-            # (train only — the eval/export paths stay exact); the exact
-            # path's budgeted-residual cond is ~150-200 ms of the 1.9 s
-            # stage-1 step.  Excluded when offsets take gradients THROUGH
-            # the field query (enable_offset_nerf_grad / sdf): the
-            # estimator has no positional gradient for sampled corners.
+            # OPT-IN only (default off): the unbiased 1-corner encode noise
+            # that averages harmlessly over ~64 volumetric samples per ray
+            # in stage 0 lands UNDAMPED on stage-1's single surface query
+            # per pixel — the v6 capstone ran it and its train loss floor
+            # rose ~13% while evals went flat.  Saves ~150-200 ms of the
+            # stage-1 step when enabled; excluded when offsets take
+            # gradients THROUGH the field query (enable_offset_nerf_grad /
+            # sdf): the estimator has no positional gradient.
             nspec = dataclasses.replace(nspec, encode_stochastic=True)
         rspec = self._raster_spec()
         optimizer = self.optimizer

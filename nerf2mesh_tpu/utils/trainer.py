@@ -1296,6 +1296,19 @@ class Trainer:
         else:
             params["vertices_offsets"] = jnp.zeros((Vp, 3), jnp.float32)
             opt_state = self.optimizer.init(params)
+            # topology changed: Adam moments reset is intended (reference
+            # utils.py:1208-1211), but the SCHEDULE count must stay global —
+            # a zeroed count re-enters the base lr's 500-step warmup after
+            # EVERY refine (refines are 150-300 steps apart: the appearance
+            # net trained at 1-60% lr for entire capstone runs, and the
+            # vertex boost restarted at 30x each segment; the "jump" the
+            # v4-v7 capstones showed after the LAST refine was the first
+            # segment long enough to exit warmup)
+            step0 = int(getattr(self.state, "step", 0) or 0)
+            if step0 > 0:
+                import optax.tree_utils as otu
+                opt_state = otu.tree_set(
+                    opt_state, count=jnp.asarray(step0, jnp.int32))
         self.state = self.state._replace(
             params=params,
             opt_state=opt_state,

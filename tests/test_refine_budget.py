@@ -50,3 +50,30 @@ def test_refine_with_headroom_grows_toward_budget(tmp_path):
     assert out.num_faces <= budget
     # error-driven subdivision actually used some of the headroom
     assert out.num_faces > F * 0.98, (out.num_faces, F)
+
+
+def test_optimizer_schedule_count_survives_refine_reset():
+    """The schedule count must stay GLOBAL across refine optimizer resets:
+    a zeroed count re-enters the 500-step base-lr warmup after every refine
+    (the round-4 capstones trained at 1-60% lr for entire runs)."""
+    import jax.numpy as jnp
+    import optax.tree_utils as otu
+
+    from nerf2mesh_tpu.config import Config
+    from nerf2mesh_tpu.utils.trainer import make_optimizer, lr_schedule
+
+    cfg = dataclasses.replace(Config(path="x"), iters=3000).finalize()
+    opt = make_optimizer(cfg)
+    params = {"table": jnp.zeros((8, 3)), "vertices_offsets": jnp.zeros((4, 3))}
+    st = opt.init(params)
+    st = otu.tree_set(st, count=jnp.asarray(1200, jnp.int32))
+    counts = [x for x in jax.tree_util.tree_leaves(st)
+              if getattr(x, "dtype", None) == jnp.int32 and x.ndim == 0]
+    assert counts and all(int(c) == 1200 for c in counts), counts
+    # and the warmup really is the issue being avoided: lr at count 100 is
+    # a fraction of lr at count 1200
+    sched = lr_schedule(cfg)
+    assert float(sched(10)) < 0.3 * float(sched(1200))
+
+
+import jax  # noqa: E402  (used by the count test)

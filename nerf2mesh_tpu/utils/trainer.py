@@ -328,7 +328,14 @@ class Trainer:
     def dynamics(self, step: int) -> StepDynamics:
         cfg = self.cfg
         half = max(0.5 * cfg.iters, 1.0)
-        full = (step >= cfg.diffuse_step) and not cfg.diffuse_only
+        # stage 1 inherits a FULLY-trained field: the reference's stage-1
+        # global_step continues from the stage-0 checkpoint (~30k), so its
+        # `step < diffuse_step` warmup never re-fires (utils.py:654).  Our
+        # stage-1 restarts step at 0 — without this gate it trained
+        # DIFFUSE-ONLY for its first 1000 steps and the full-shading flip
+        # mid-run spiked the loss 3x (v8 capstone step 1050)
+        full = ((cfg.stage > 0 or step >= cfg.diffuse_step)
+                and not cfg.diffuse_only)
         if cfg.progressive_level:
             ml = 4 + int(12 * min(1.0, step / half))
         else:

@@ -408,9 +408,16 @@ def generate_synthetic_dataset(
             if split == "train":
                 theta = np.arccos(rng.uniform(0.05, 0.95))
                 phi = rng.uniform(0, 2 * np.pi)
-            else:
+            elif split == "val":
                 theta = np.pi / 3
                 phi = 2 * np.pi * k / n
+            else:
+                # test poses must NOT coincide with val (ADVICE r4: identical
+                # deterministic orbits made the two evals bit-identical on
+                # rotationally symmetric scenes) — different elevation and a
+                # half-step azimuth offset keep test an independent held-out
+                theta = np.pi / 2.4
+                phi = 2 * np.pi * (k + 0.5) / n
             pose = orbit_pose(theta, phi, radius)
             s = max(int(ssaa), 1)
             acc_pm = np.zeros((H * W, 3), np.float32)   # premultiplied rgb

@@ -1160,7 +1160,9 @@ class Trainer:
         self.log(f"[eval {name}] " + " ".join(
             f"{k}={v:.4f}" for k, v in results.items()))
         self.stats["results"].append(results)
-        self.log_scalars({"eval/" + k: v for k, v in results.items()})
+        # key by the eval name so val/test/s1_step rows stay distinguishable
+        # in metrics.jsonl (ADVICE r4)
+        self.log_scalars({f"{name}/" + k: v for k, v in results.items()})
 
         # track best checkpoint by the first metric (reference
         # utils.py:1383-1403 keeps a best ckpt with EMA weights)
@@ -1316,6 +1318,12 @@ class Trainer:
                 import optax.tree_utils as otu
                 opt_state = otu.tree_set(
                     opt_state, count=jnp.asarray(step0, jnp.int32))
+                # tree_set writes the SAME array object into every `count`
+                # leaf of the optax chain; _build_stage1_step donates the
+                # opt_state, and XLA rejects donating one buffer twice
+                # ("Attempt to donate the same buffer twice in Execute()").
+                # Give each leaf its own buffer.
+                opt_state = jax.tree_util.tree_map(jnp.copy, opt_state)
         self.state = self.state._replace(
             params=params,
             opt_state=opt_state,

@@ -79,6 +79,17 @@ class Config:
     # estimator noise lands undamped on single surface queries — v6 capstone)
     s1_stochastic: bool = False
     s1_alpha_eval: str = "area"
+    # stage-1 surface shading: >1 composites s1_shell samples along the view
+    # ray in an s1_shell_h-wide shell around the surface with the field's
+    # own (stop-graded) transmittance weights, replacing the single point
+    # sample.  The single sample aliases against the density ramp wherever
+    # vertex placement error exceeds the finest hash cell — the round-5 v9
+    # decomposition measured 78-92% of held-out stage-1 MSE as interior
+    # triangle-scale speckle from exactly this (reference renderer.py:877
+    # single-samples and compensates with 800^2 x 30k-iter supervision
+    # density this proxy cannot match).  Train and eval share the estimator.
+    s1_shell: int = 1
+    s1_shell_h: float = 0.02
     # stage-1 face budget as supersampled-pixels per face (2*H*W*ssaa^2 /
     # this); keeps triangles big enough that the antialias edge-crossing
     # gradient can train vertex offsets.  0 disables (raster cap only).

@@ -92,6 +92,37 @@ def export_stage1_package(trainer, out_dir: str, h0: int = 2048,
     def q_feat(pts):
         return geo_feat(params, pts, nspec)
 
+    shell_k = max(int(getattr(cfg, "s1_shell", 1)), 1)
+    if shell_k > 1:
+        # bake with the SAME thin-shell composite the stage-1 train/eval
+        # path uses (stage1.render_stage1_crop): single point samples alias
+        # against the density ramp wherever vertex error exceeds the finest
+        # hash cell.  At bake time there is no view ray; the shell runs
+        # along the interpolated outward surface normal.
+        from ..models.network import density
+
+        @jax.jit
+        def q_feat_shell(pts, nrms):
+            n = nrms / jnp.maximum(
+                jnp.linalg.norm(nrms, axis=-1, keepdims=True), 1e-9)
+            K = shell_k
+            offs = jnp.linspace(0.5 * cfg.s1_shell_h, -0.5 * cfg.s1_shell_h,
+                                K, dtype=jnp.float32)   # outside -> inside
+            p = pts[:, None, :] + offs[None, :, None] * n[:, None, :]
+            sig = density(params, p.reshape(-1, 3), nspec).reshape(-1, K)
+            gf = geo_feat(params, p.reshape(-1, 3), nspec)
+            gf = gf.reshape(pts.shape[0], K, -1)
+            dt = cfg.s1_shell_h / K
+            a = 1.0 - jnp.exp(-jnp.maximum(sig, 0.0) * dt)
+            T = jnp.cumprod(1.0 - a + 1e-7, axis=-1)
+            T = jnp.concatenate([jnp.ones_like(T[:, :1]), T[:, :-1]],
+                                axis=-1)
+            w = T * a
+            wsum = jnp.sum(w, axis=-1, keepdims=True)
+            mean_f = (jnp.sum(w[..., None] * gf, axis=1)
+                      / jnp.maximum(wsum, 1e-6))
+            return jnp.where(wsum > 0.05, mean_f, gf[:, K // 2])
+
     cur_h, cur_w = h0, w0
     for cas in range(cascades):
         v = v_all[mesh.v_cumsum[cas]:mesh.v_cumsum[cas + 1]]
@@ -111,6 +142,16 @@ def export_stage1_package(trainer, out_dir: str, h0: int = 2048,
         world_attr = jnp.asarray(v[vmapping])           # [Nuv, 3]
         clip_j = jnp.asarray(clip)
         ft_j = jnp.asarray(ft.astype(np.int32))
+        nrm_attr = None
+        if shell_k > 1:
+            fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+            vn = np.zeros_like(v)
+            np.add.at(vn, f[:, 0], fn)
+            np.add.at(vn, f[:, 1], fn)
+            np.add.at(vn, f[:, 2], fn)
+            vn /= np.maximum(np.linalg.norm(vn, axis=-1, keepdims=True),
+                             1e-12)
+            nrm_attr = jnp.asarray(vn[vmapping])        # [Nuv, 3]
 
         tile = 256
         spec = RasterSpec(
@@ -129,7 +170,13 @@ def export_stage1_package(trainer, out_dir: str, h0: int = 2048,
                 pts = np.asarray(xyz).reshape(-1, 3)
                 if cfg.contract:
                     pts = contract_np(pts)
-                vals = np.asarray(q_feat(jnp.asarray(pts)))
+                if shell_k > 1:
+                    nr = np.asarray(
+                        interpolate(nrm_attr, r, ft_j)).reshape(-1, 3)
+                    vals = np.asarray(
+                        q_feat_shell(jnp.asarray(pts), jnp.asarray(nr)))
+                else:
+                    vals = np.asarray(q_feat(jnp.asarray(pts)))
                 th = min(tile, h - y0); tw = min(tile, w - x0)
                 feats[y0:y0+th, x0:x0+tw] = vals.reshape(tile, tile, -1)[:th, :tw, :6]
                 mask[y0:y0+th, x0:x0+tw] = cov[:th, :tw]

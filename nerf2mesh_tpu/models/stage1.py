@@ -336,6 +336,8 @@ def render_stage1_crop(
     ssaa: int = 1,
     alpha_mode: str = "aa",
     f_valid: Optional[jax.Array] = None,
+    shell_k: int = 1,
+    shell_h: float = 0.02,
 ) -> Dict[str, jax.Array]:
     """One differentiable crop render (renderer.py:816-921).
 
@@ -379,7 +381,44 @@ def render_stage1_crop(
     d = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     flat_x = xyzs.reshape(-1, 3)
     flat_d = d.reshape(-1, 3)
-    colors, _ = field_rgb(params, flat_x, flat_d, net_spec, ind_code, shading)
+    if shell_k > 1 and shading in ("full", "diffuse"):
+        # Thin-shell composite (round-5): the single point sample at the
+        # interpolated surface aliases against the stage-0 density ramp —
+        # per-vertex placement error (mean ~0.01-0.03 ngp units, >> the
+        # finest hash cell) radially displaces the query into field regions
+        # volume rendering never constrained, which reads as triangle-scale
+        # color speckle (round-5 v9 decomposition: 78-92% of held-out MSE
+        # is INTERIOR).  Composite shell_k samples along the view ray
+        # centered on the surface with the field's own transmittance
+        # weights instead: the same estimator the stage-0 train loss
+        # optimized, restricted to a shell_h-wide shell.  Weights are
+        # stop-graded (the photometric loss trains color, not density —
+        # reference stage-1 parity, renderer.py:877-887).
+        from .network import field_forward
+        K = int(shell_k)
+        P = flat_x.shape[0]
+        offs = jnp.linspace(-0.5 * shell_h, 0.5 * shell_h, K,
+                            dtype=jnp.float32)
+        pts = flat_x[:, None, :] + offs[None, :, None] * flat_d[:, None, :]
+        d_rep = jnp.broadcast_to(flat_d[:, None, :], (P, K, 3))
+        full_flag = jnp.asarray(shading == "full")
+        sig, col, _, _ = field_forward(
+            params, pts.reshape(-1, 3), d_rep.reshape(-1, 3), net_spec,
+            full_flag, ind_code)
+        sig = sig.reshape(P, K)
+        col = col.reshape(P, K, 3)
+        dt = shell_h / K
+        a = 1.0 - jnp.exp(-jnp.maximum(sig, 0.0) * dt)
+        T = jnp.cumprod(1.0 - a + 1e-7, axis=-1)
+        T = jnp.concatenate([jnp.ones_like(T[:, :1]), T[:, :-1]], axis=-1)
+        w = jax.lax.stop_gradient(T * a)
+        wsum = jnp.sum(w, axis=-1, keepdims=True)
+        mean_c = jnp.sum(w[..., None] * col, axis=1) / jnp.maximum(wsum, 1e-6)
+        # open-shell fallback (culled/empty space): the center sample
+        colors = jnp.where(wsum > 0.05, mean_c, col[:, K // 2])
+    else:
+        colors, _ = field_rgb(params, flat_x, flat_d, net_spec, ind_code,
+                              shading)
     rgbs = colors.reshape(Cs, Cs, 3)
     rgbs = jnp.where(rast["covered"][..., None], rgbs, 0.0)
 

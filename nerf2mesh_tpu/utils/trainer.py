@@ -197,7 +197,8 @@ def make_stage1_crop_loss(cfg: Config, nspec, rspec):
             ind_code=ind_code, contracted=cfg.contract,
             enable_offset_nerf_grad=cfg.enable_offset_nerf_grad,
             pos_gradient_boost=cfg.pos_gradient_boost,
-            ssaa=ss, alpha_mode=cfg.s1_alpha, f_valid=f_real)
+            ssaa=ss, alpha_mode=cfg.s1_alpha, f_valid=f_real,
+            shell_k=cfg.s1_shell, shell_h=cfg.s1_shell_h)
 
         loss_pix = cfg.lambda_rgb * jnp.mean(
             (out["image"] - gt_rgb) ** 2, axis=-1)
@@ -1118,7 +1119,8 @@ class Trainer:
     def evaluate(self, dataset: Dataset, name: str = "eval",
                  write_images: bool = False,
                  max_frames: Optional[int] = None,
-                 stage1: Optional[bool] = None) -> Dict[str, float]:
+                 stage1: Optional[bool] = None,
+                 track_best: bool = True) -> Dict[str, float]:
         if stage1 is None:
             stage1 = self.cfg.stage > 0
         for m in self.metrics:
@@ -1166,7 +1168,7 @@ class Trainer:
 
         # track best checkpoint by the first metric (reference
         # utils.py:1383-1403 keeps a best ckpt with EMA weights)
-        if results:
+        if results and track_best:
             first = list(results.values())[0]
             if self.stats["best"] is None or first > self.stats["best"]:
                 self.stats["best"] = first
@@ -1448,7 +1450,8 @@ class Trainer:
         return fn
 
     def train_stage1(self, dataset: Dataset, valid_dataset: Optional[Dataset] = None,
-                     max_steps: Optional[int] = None):
+                     max_steps: Optional[int] = None,
+                     diag_datasets: Optional[Dict[str, Dataset]] = None):
         from ..models.stage1 import refine_and_decimate
         cfg = self.cfg
         steps = max_steps if max_steps is not None else cfg.iters
@@ -1491,6 +1494,17 @@ class Trainer:
                      if self.cfg.refine else 0)
             self.mesh_v = jnp.asarray(
                 pad_stage1_buffers(mesh, min_f=min_f)["vertices"])
+            # persist the snapped geometry under the refine contract
+            # (mesh_0_updated.ply, never re-snapped): offsets train relative
+            # to SNAPPED vertices, so a resumed run or post-hoc eval that
+            # reloaded the raw mesh_0.ply would silently render offsets
+            # against the wrong base geometry
+            from ..meshing.io import write_ply
+            mdir = os.path.join(self.workspace, "mesh_stage0")
+            os.makedirs(mdir, exist_ok=True)
+            write_ply(os.path.join(mdir, "mesh_0_updated.ply"),
+                      mesh.vertices[:v1],
+                      mesh.triangles[:int(mesh.f_cumsum[1])])
         last = None
         for step in range(start, steps):
             if cfg.refine and (step + 1) in cfg.refine_steps:
@@ -1530,6 +1544,13 @@ class Trainer:
             if valid_dataset is not None and (step + 1) % eval_interval == 0:
                 self.evaluate(valid_dataset, name=f"s1_step{step+1}",
                               stage1=True)
+                # optional extra eval sets through the SAME eval path (e.g.
+                # a train-view subset: the train/val gap at matched
+                # estimator separates view overfitting from estimator
+                # asymmetry — the round-4 v9 capstone could not tell)
+                for dname, dset in (diag_datasets or {}).items():
+                    self.evaluate(dset, name=f"{dname}_step{step+1}",
+                                  stage1=True, track_best=False)
             if (step + 1) % max(1, steps // max(cfg.n_ckpt, 1)) == 0 \
                     or step == steps - 1:
                 self.save_checkpoint()
@@ -1565,7 +1586,8 @@ class Trainer:
                     mvp, origin, dirs, bg, nspec, rspec, H, W,
                     shading="full", contracted=self.cfg.contract,
                     alpha_mode=self.cfg.s1_alpha_eval, f_valid=f_real,
-                    ssaa=ss)
+                    ssaa=ss, shell_k=self.cfg.s1_shell,
+                    shell_h=self.cfg.s1_shell_h)
             cache[cache_key] = _eval
         _eval_fn = cache[cache_key]
 

@@ -1,0 +1,72 @@
+"""Stage-1 quality gate in the CAPSTONE regime (VERDICT r4 task 7).
+
+Four rounds of capstone failures were each discovered on expensive chip
+runs because the only stage-1 quality test ran a toy scene with a -2 dB
+allowance.  This test reproduces the failing regime's ingredients at CPU
+scale: a CONVERGED stage-0 (the field has a real density ramp), a dense
+marching-cubes mesh with surface snap (vertex placement error >> finest
+trained hash cell), full shading from step 0, held-out-view eval — and
+gates stage-1 at stage-0 - 1 dB, the round-4 capstone gate.
+
+The round-5 diagnosis (v9 decomposition + speckle probe): the single
+point sample per pixel aliases against the stage-0 density ramp wherever
+vertex error exceeds the field's radial color scale, painting
+triangle-scale interior speckle on held-out views (78-92% of v9's
+held-out MSE).  The thin-shell composite (s1_shell) is the fix; this test
+runs the production default config, so it fails while the default is the
+single sample and passes when the shell (or an equivalent fix) ships.
+"""
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_stage1_matches_stage0_on_converged_scene(tmp_path):
+    from nerf2mesh_tpu.config import Config
+    from nerf2mesh_tpu.data.provider import load_nerf_dataset
+    from nerf2mesh_tpu.data.synthetic import generate_synthetic_dataset
+    from nerf2mesh_tpu.utils.metrics import PSNRMeter
+    from nerf2mesh_tpu.utils.trainer import Trainer
+
+    root = str(tmp_path / "scene")
+    # ssaa-2 GT: binary-rim GT distorts the gate (synthetic.py docstring)
+    generate_synthetic_dataset(root, H=96, W=96, n_train=16, n_val=2,
+                               n_test=2, ssaa=2)
+
+    base = dict(
+        bound=1.0, scale=0.8, dt_gamma=0.0, num_rays=2048,
+        num_points=65536, max_steps=96, grid_size=64,
+        diffuse_step=150, random_image_batch=True, mark_untrained=True,
+        background="random", n_eval=1, n_ckpt=1)
+
+    ws = str(tmp_path / "ws")
+    cfg0 = dataclasses.replace(
+        Config(path=root, workspace=ws), iters=700, **base).finalize()
+    tr0 = Trainer(cfg0)
+    ds = load_nerf_dataset(cfg0, "train")
+    val = load_nerf_dataset(cfg0, "val")
+    tr0.metrics = [PSNRMeter()]
+    tr0.train(ds, None)
+    s0 = tr0.evaluate(val, name="gate_s0")["PSNR"]
+    tr0.save_checkpoint()
+    tr0.save_mesh(resolution=128, dataset=ds)
+
+    cfg1 = dataclasses.replace(
+        Config(path=root, workspace=ws), iters=400, stage=1,
+        s1_vert_boost=2.0, **base).finalize()
+    tr1 = Trainer(cfg1)
+    tr1.setup_stage1(ds)
+    assert tr1.load_checkpoint(stage=0)
+    tr1.metrics = [PSNRMeter()]
+    tr1.train_stage1(ds, None)
+    s1 = tr1.evaluate(val, name="gate_s1")["PSNR"]
+
+    print(f"[gate] stage0 {s0:.2f} dB stage1 {s1:.2f} dB")
+    assert s0 > 26.0, f"stage-0 miniature failed to converge ({s0:.2f})"
+    assert s1 >= s0 - 1.0, (
+        f"stage-1 {s1:.2f} vs stage-0 {s0:.2f}: the capstone gate regime "
+        f"(converged field + snapped dense mesh + full shading) degrades "
+        f"held-out quality")

@@ -62,15 +62,47 @@ def main():
     from nerf2mesh_tpu.data.provider import load_nerf_dataset
     from nerf2mesh_tpu.utils.trainer import Trainer
 
+    # CAP_REFINE must match the run under diagnosis: the refine face-budget
+    # changes the padded offsets shape, and a mismatch silently REINITS the
+    # checkpoint's offsets (diagnosing the wrong geometry)
+    refine = ["--refine"] if os.environ.get("CAP_REFINE", "0") == "1" else []
     cfg1 = parse_args([
         ROOT, "--workspace", WS, "--stage", "1", "--bound", "1",
-        "--scale", "0.8", "--dt_gamma", "0", "--iters", "1500", "--refine",
+        "--scale", "0.8", "--dt_gamma", "0", "--iters", "1500", *refine,
         "--s1_alpha_eval",
         os.environ.get("CAP_ALPHA_EVAL", "area"),    # production default
         "--test_no_video"])
     t1 = Trainer(cfg1)
     ds_tr = load_nerf_dataset(cfg1, "train")
     t1.setup_stage1(ds_tr)
+    if os.environ.get("CAP_SNAP", "0") == "1":
+        # reconstruct the run's surface snap (runs that predate the
+        # mesh_0_updated.ply persistence fix trained offsets against
+        # SNAPPED vertices; the raw mesh_0.ply is the wrong base geometry).
+        # The snap is deterministic given the stage-0 params + band recipe
+        # (trainer.py train_stage1).
+        import pickle
+
+        import jax.numpy as jnp
+
+        from nerf2mesh_tpu.models.stage1 import (pad_stage1_buffers,
+                                                 snap_to_apparent_surface)
+        with open(os.path.join(WS, "checkpoints",
+                               "ngp_stage0_latest.ckpt"), "rb") as f:
+            p0 = pickle.load(f)["state"].params
+        mesh = t1.stage1_mesh
+        v1 = int(mesh.v_cumsum[1])
+        band = max(12.0 * 2.0 * cfg1.real_bound / max(cfg1.mcubes_reso, 1),
+                   0.09)
+        mesh.vertices[:v1] = snap_to_apparent_surface(
+            p0, mesh.vertices[:v1],
+            mesh.triangles[:int(mesh.f_cumsum[1])], t1.net_spec,
+            band=band, n_samples=64, passes=3)
+        t1._s1_want_snap = False
+        min_f = (getattr(t1, "_s1_face_budget", 0) if cfg1.refine else 0)
+        t1.mesh_v = jnp.asarray(
+            pad_stage1_buffers(mesh, min_f=min_f)["vertices"])
+        print("[cap_diag] snap reconstructed from stage-0 params", flush=True)
     assert t1.load_checkpoint(), "no stage-1 checkpoint"
     ds_val = load_nerf_dataset(cfg1, "val")
 

@@ -8,7 +8,7 @@ occupancy -> inner + outer cascade mesh export -> stage-1 over the
 multi-cascade mesh set -> web export.  Mirrors the reference's LLFF recipe
 shape (scripts/runall_llff.sh; outer-cascade export renderer.py:606-672).
 
-Snapshots log+metrics into workspace/validation/round4/.
+Snapshots log+metrics into workspace/validation/round5/.
 """
 import sys
 
@@ -23,7 +23,7 @@ from nerf2mesh_tpu.main import main
 
 root = "/root/repo/workspace/runs/colmap_scene"
 ws = "/root/repo/workspace/runs/ws_colmap"
-snap = "/root/repo/workspace/validation/round4"
+snap = "/root/repo/workspace/validation/round5"
 os.makedirs(snap, exist_ok=True)
 
 if not os.path.exists(os.path.join(root, "sparse", "0", "cameras.bin")):

@@ -25,21 +25,36 @@ if not os.path.exists(os.path.join(root, "transforms_train.json")):
     print("HARD GT generated %.0fs" % (time.time() - t), flush=True)
 
 ws = "/root/repo/workspace/runs/ws_hard"
+snap = "/root/repo/workspace/validation/round5"
+os.makedirs(snap, exist_ok=True)
+ITERS0 = int(os.environ.get("HARD_ITERS0", "5000"))
 t0 = time.time()
-main([root, "--workspace", ws,
-      "--bound", "1", "--scale", "0.8", "--dt_gamma", "0",
-      "--iters", "5000", "--num_rays", "4096", "--num_points", "262144",
-      "--grid_size", "128", "--diffuse_step", "1000",
-      "--random_image_batch", "--mark_untrained", "--adaptive_num_rays",
-      "--mesh_visibility_culling",
-      "--mcubes_reso", "256", "--decimate_target", "100000",
-      "--n_eval", "2", "--n_ckpt", "2", "--test_no_video"])
-print("HARD STAGE0 DONE %.0fs" % (time.time() - t0), flush=True)
+if not os.path.exists(os.path.join(ws, "mesh_stage0", "mesh_0.ply")):
+    main([root, "--workspace", ws,
+          "--bound", "1", "--scale", "0.8", "--dt_gamma", "0",
+          "--iters", str(ITERS0), "--num_rays", "4096",
+          "--num_points", "262144",
+          "--grid_size", "128", "--diffuse_step", "1000",
+          "--random_image_batch", "--mark_untrained", "--adaptive_num_rays",
+          "--mesh_visibility_culling",
+          "--mcubes_reso", "256", "--decimate_target", "100000",
+          "--n_eval", "2", "--n_ckpt", "2", "--test_no_video"])
+    print("HARD STAGE0 DONE %.0fs" % (time.time() - t0), flush=True)
+    import shutil
+    for name in ("log_ngp.txt", "metrics.jsonl"):
+        p = os.path.join(ws, name)
+        if os.path.exists(p):
+            shutil.copy(p, os.path.join(snap, f"hard_stage0_{name}"))
 # stage-1 config matches the toy-gate-validated defaults (ssaa 2 drives the
 # face budget + supersampled eval; lr_vert 1e-4 under the boosted schedule)
 main([root, "--workspace", ws,
       "--stage", "1", "--bound", "1", "--scale", "0.8", "--dt_gamma", "0",
       "--iters", "2500", "--refine",
-      "--texture_size", "2048", 
+      "--texture_size", "2048",
       "--n_eval", "4", "--n_ckpt", "2", "--test_no_video"])
 print("HARD ALL DONE %.0fs" % (time.time() - t0), flush=True)
+import shutil
+for name in ("log_ngp.txt", "metrics.jsonl"):
+    p = os.path.join(ws, name)
+    if os.path.exists(p):
+        shutil.copy(p, os.path.join(snap, f"hard_stage1_{name}"))

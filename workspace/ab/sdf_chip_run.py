@@ -7,7 +7,7 @@ convergence, then reports:
   - stage-0 test PSNR,
   - chamfer-style |analytic sdf| stats of the exported mesh vertices,
   - stage-1 final eval PSNR (remesh-only refine).
-Results snapshot into workspace/validation/round4/sdf_chip.json so a
+Results snapshot into workspace/validation/round5/sdf_chip.json so a
 container reset cannot lose the evidence.
 """
 import sys
@@ -26,7 +26,7 @@ from nerf2mesh_tpu.main import main
 
 root = "/root/repo/workspace/runs/sdf_scene"
 ws = "/root/repo/workspace/runs/ws_sdf"
-snap = "/root/repo/workspace/validation/round4"
+snap = "/root/repo/workspace/validation/round5"
 os.makedirs(snap, exist_ok=True)
 
 if not os.path.exists(os.path.join(root, "transforms_train.json")):

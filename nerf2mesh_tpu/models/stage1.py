@@ -204,12 +204,14 @@ def snap_to_apparent_surface(params, verts: np.ndarray, tris: np.ndarray,
     np.add.at(nrm, t[:, 2], fn)
     nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
 
-    def make_probe(b: float, ns: int):
-        offs = jnp.asarray(np.linspace(b, -b, ns).astype(np.float32))
-        dt = 2.0 * b / ns
-
+    def make_probe(ns: int):
+        # band `b` is a traced scalar: the 3 shrinking passes (and every
+        # caller band) share ONE compile — compiles are minutes on this
+        # backend and the probe recompiled per pass before
         @jax.jit
-        def probe(params, vc, nc):
+        def probe(params, vc, nc, b):
+            offs = jnp.linspace(b, -b, ns)
+            dt = 2.0 * b / ns
             # orientation check: sigma should be lower on the outward side
             s_out = sigma_fn(params, vc + b * nc)
             s_in = sigma_fn(params, vc - b * nc)
@@ -235,9 +237,9 @@ def snap_to_apparent_surface(params, verts: np.ndarray, tris: np.ndarray,
     # points (round-4 crash: 44k verts in one chunk -> 17.4 GB alloc); the
     # last partial chunk is zero-padded so every probe call reuses one jit.
     out = np.array(v)
+    probe = make_probe(n_samples)
     for p in range(max(int(passes), 1)):
         b = band / (3.0 ** p)
-        probe = make_probe(b, n_samples)
         cur = np.array(out)
         moved = 0
         for c0 in range(0, len(v), chunk):
@@ -249,9 +251,15 @@ def snap_to_apparent_surface(params, verts: np.ndarray, tris: np.ndarray,
                     [vb, np.zeros((chunk - n_real, 3), np.float32)])
                 nb = np.concatenate(
                     [nb, np.zeros((chunk - n_real, 3), np.float32)])
-            nv, ws = probe(params, jnp.asarray(vb), jnp.asarray(nb))
+            nv, ws = probe(params, jnp.asarray(vb), jnp.asarray(nb),
+                           jnp.float32(b))
             out[c0:c0 + n_real] = np.asarray(nv)[:n_real]
             moved += int((np.asarray(ws)[:n_real] > 0.3).sum())
+            if c0 == 0 or (c0 // chunk) % 8 == 7:
+                # liveness for log-staleness watchdogs (first chunk carries
+                # the minutes-long jit compile on this backend)
+                print(f"[snap_to_apparent_surface] pass {p+1} chunk "
+                      f"{c0//chunk + 1}/{-(-len(v)//chunk)}", flush=True)
         d = np.linalg.norm(out - cur, axis=-1)
         print(f"[snap_to_apparent_surface] pass {p+1}/{passes}: moved "
               f"{moved}/{len(v)} vertices, |d| mean {d.mean():.5f} "

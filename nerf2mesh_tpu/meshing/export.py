@@ -107,21 +107,32 @@ def export_stage1_package(trainer, out_dir: str, h0: int = 2048,
                 jnp.linalg.norm(nrms, axis=-1, keepdims=True), 1e-9)
             K = shell_k
             offs = jnp.linspace(0.5 * cfg.s1_shell_h, -0.5 * cfg.s1_shell_h,
-                                K, dtype=jnp.float32)   # outside -> inside
-            p = pts[:, None, :] + offs[None, :, None] * n[:, None, :]
-            sig = density(params, p.reshape(-1, 3), nspec).reshape(-1, K)
-            gf = geo_feat(params, p.reshape(-1, 3), nspec)
-            gf = gf.reshape(pts.shape[0], K, -1)
+                                K)                      # outside -> inside
             dt = cfg.s1_shell_h / K
-            a = 1.0 - jnp.exp(-jnp.maximum(sig, 0.0) * dt)
-            T = jnp.cumprod(1.0 - a + 1e-7, axis=-1)
-            T = jnp.concatenate([jnp.ones_like(T[:, :1]), T[:, :-1]],
-                                axis=-1)
-            w = T * a
-            wsum = jnp.sum(w, axis=-1, keepdims=True)
-            mean_f = (jnp.sum(w[..., None] * gf, axis=1)
-                      / jnp.maximum(wsum, 1e-6))
-            return jnp.where(wsum > 0.05, mean_f, gf[:, K // 2])
+            P = pts.shape[0]
+
+            # layer-wise scan: the exact-encode intermediate at P*K points
+            # exceeds HBM (see stage1.render_stage1_crop)
+            def _layer(carry, off):
+                T, acc, wsum, acc_u = carry
+                p = pts + off * n
+                sig = density(params, p, nspec)
+                gf = geo_feat(params, p, nspec)
+                a = 1.0 - jnp.exp(-jnp.maximum(sig, 0.0) * dt)
+                w = T * a
+                acc = acc + w[:, None] * gf
+                wsum = wsum + w
+                T = T * (1.0 - a + 1e-7)
+                acc_u = acc_u + gf * (1.0 / K)
+                return (T, acc, wsum, acc_u), None
+
+            F = 3 + nspec.specular_dim
+            init = (jnp.ones((P,)), jnp.zeros((P, F)), jnp.zeros((P,)),
+                    jnp.zeros((P, F)))
+            (_, acc, wsum, acc_u), _ = jax.lax.scan(_layer, init, offs)
+            wsum = wsum[:, None]
+            mean_f = acc / jnp.maximum(wsum, 1e-6)
+            return jnp.where(wsum > 0.05, mean_f, acc_u)
 
     cur_h, cur_w = h0, w0
     for cas in range(cascades):

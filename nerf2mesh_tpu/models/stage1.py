@@ -238,6 +238,9 @@ def snap_to_apparent_surface(params, verts: np.ndarray, tris: np.ndarray,
     # last partial chunk is zero-padded so every probe call reuses one jit.
     out = np.array(v)
     probe = make_probe(n_samples)
+    print(f"[snap_to_apparent_surface] compiling probe "
+          f"({len(v)} verts, chunk {chunk}, ~10 min first time on the "
+          f"relay backend)", flush=True)
     for p in range(max(int(passes), 1)):
         b = band / (3.0 ** p)
         cur = np.array(out)
@@ -405,25 +408,34 @@ def render_stage1_crop(
         from .network import field_forward
         K = int(shell_k)
         P = flat_x.shape[0]
-        offs = jnp.linspace(-0.5 * shell_h, 0.5 * shell_h, K,
-                            dtype=jnp.float32)
-        pts = flat_x[:, None, :] + offs[None, :, None] * flat_d[:, None, :]
-        d_rep = jnp.broadcast_to(flat_d[:, None, :], (P, K, 3))
+        offs = jnp.linspace(-0.5 * shell_h, 0.5 * shell_h, K)
         full_flag = jnp.asarray(shading == "full")
-        sig, col, _, _ = field_forward(
-            params, pts.reshape(-1, 3), d_rep.reshape(-1, 3), net_spec,
-            full_flag, ind_code)
-        sig = sig.reshape(P, K)
-        col = col.reshape(P, K, 3)
         dt = shell_h / K
-        a = 1.0 - jnp.exp(-jnp.maximum(sig, 0.0) * dt)
-        T = jnp.cumprod(1.0 - a + 1e-7, axis=-1)
-        T = jnp.concatenate([jnp.ones_like(T[:, :1]), T[:, :-1]], axis=-1)
-        w = jax.lax.stop_gradient(T * a)
-        wsum = jnp.sum(w, axis=-1, keepdims=True)
-        mean_c = jnp.sum(w[..., None] * col, axis=1) / jnp.maximum(wsum, 1e-6)
-        # open-shell fallback (culled/empty space): the center sample
-        colors = jnp.where(wsum > 0.05, mean_c, col[:, K // 2])
+
+        # one field pass PER LAYER (lax.scan): the exact-encode intermediate
+        # is [C, N, L, 8]; at N = P*K it exceeds HBM (K=4 on a 512^2
+        # supersampled crop hit a 25.8 GB allocation).  Layer-wise keeps
+        # peak memory at the single-sample level.
+        def _layer(carry, off):
+            T, acc, wsum, acc_u = carry
+            pts = flat_x + off * flat_d
+            sig, col, _, _ = field_forward(params, pts, flat_d, net_spec,
+                                           full_flag, ind_code)
+            a = 1.0 - jnp.exp(-jnp.maximum(sig, 0.0) * dt)
+            w = jax.lax.stop_gradient(T * a)
+            acc = acc + w[:, None] * col
+            wsum = wsum + w
+            T = T * jax.lax.stop_gradient(1.0 - a + 1e-7)
+            acc_u = acc_u + col * (1.0 / K)
+            return (T, acc, wsum, acc_u), None
+
+        init = (jnp.ones((P,)), jnp.zeros((P, 3)), jnp.zeros((P,)),
+                jnp.zeros((P, 3)))
+        (_, acc, wsum, acc_u), _ = jax.lax.scan(_layer, init, offs)
+        wsum = wsum[:, None]
+        mean_c = acc / jnp.maximum(wsum, 1e-6)
+        # open-shell fallback (culled/empty space): plain radial average
+        colors = jnp.where(wsum > 0.05, mean_c, acc_u)
     else:
         colors, _ = field_rgb(params, flat_x, flat_d, net_spec, ind_code,
                               shading)

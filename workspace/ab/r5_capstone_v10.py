@@ -66,6 +66,10 @@ if ARM == "refine":
 elif ARM.startswith("shell"):
     args += ["--s1_shell", os.environ.get("CAP10_SHELL_K", "4"),
              "--s1_shell_h", os.environ.get("CAP10_SHELL_H", "0.03")]
+    if "stoch" in ARM:
+        # stochastic 1-corner encode for the K shell layers: 8.5x cheaper
+        # per layer; the shell average damps the v6 single-sample noise
+        args += ["--s1_stochastic"]
 cfg = parse_args(args)
 
 t0 = time.time()

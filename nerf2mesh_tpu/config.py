@@ -158,6 +158,17 @@ class Config:
     # stage-0 regularizations
     lambda_density: float = 0.0
     lambda_entropy: float = 0.0
+    # SHARPEN phase (stage 0, after the final evals, before mesh export):
+    # extra train steps with the weight-entropy loss stepped up to
+    # sharpen_entropy (first half at 0.1x — the validated ramp).  A
+    # converged field renders volumetrically with a ~40-fine-cell soft
+    # transmittance ramp, which breaks every surface shading estimator
+    # stage 1 relies on (round-5 ramp probe: point sample 24.3 dB ->
+    # 33.9 after sharpening, with interior volumetric quality intact);
+    # the reference implicitly depends on a sharp field for its stage-1
+    # (renderer.py:877) and the quality evals report PRE-sharpen numbers.
+    sharpen_steps: int = 0
+    sharpen_entropy: float = 1e-2
     lambda_tv: float = 1e-8
     lambda_depth: float = 0.1
     lambda_specular: float = 1e-5
@@ -242,6 +253,12 @@ class Config:
             cfg.mesh_visibility_culling = True
             cfg.adaptive_num_rays = True
             cfg.refine = True
+            if cfg.sharpen_steps == 0 and cfg.stage == 0 and not cfg.sdf:
+                # recommended two-stage recipe includes the mesh-prep
+                # sharpen phase (0 = auto; pass -1 to force off)
+                cfg.sharpen_steps = 1200
+        if cfg.sharpen_steps < 0:
+            cfg.sharpen_steps = 0
         if cfg.sdf:
             cfg.density_thresh = 0.001
             if cfg.stage == 0:

@@ -109,6 +109,16 @@ def main(argv=None):
     if not cfg.test_no_video:
         trainer.test_video(test_ds)
 
+    if cfg.stage == 0 and cfg.sharpen_steps > 0 and not cfg.sdf:
+        # mesh-preparation sharpening AFTER the quality evals (they report
+        # the NeRF's volumetric numbers) and BEFORE the export the stage-1
+        # handoff consumes — see Config.sharpen_steps
+        print(f"[INFO] sharpen phase: +{cfg.sharpen_steps} steps @ "
+              f"entropy {cfg.sharpen_entropy}")
+        trainer.train(train_ds, None,
+                      max_steps=cfg.iters + cfg.sharpen_steps)
+        trainer.save_checkpoint()
+
     if cfg.stage == 1:
         trainer.export_stage1(resolution=cfg.texture_size)
     elif not cfg.test_no_mesh:

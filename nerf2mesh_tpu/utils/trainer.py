@@ -112,6 +112,13 @@ class StepDynamics(NamedTuple):
     cos_anneal_ratio: jax.Array   # f32 (sdf)
     normal_epsilon: jax.Array     # f32 (sdf)
     lambda_depth_ramp: jax.Array  # f32 in [0,1]
+    # traced weight-entropy coefficient: cfg.lambda_entropy during the main
+    # run, stepped up to cfg.sharpen_entropy in the post-eval SHARPEN phase
+    # (round-5: the converged field's ~40-cell soft ramp made every
+    # surface-point shading read 24 dB; 2x600 sharpen steps took the
+    # point-sample to 33.9 with volumetric interior quality intact).
+    # Traced so the phase reuses the compiled train step.
+    lambda_entropy: jax.Array     # f32
 
 
 
@@ -341,12 +348,18 @@ class Trainer:
             ml = 4 + int(12 * min(1.0, step / half))
         else:
             ml = 16
+        if cfg.sharpen_steps > 0 and step >= cfg.iters:
+            lam_e = (cfg.sharpen_entropy if step >= cfg.iters
+                     + cfg.sharpen_steps // 2 else 0.1 * cfg.sharpen_entropy)
+        else:
+            lam_e = cfg.lambda_entropy
         return StepDynamics(
             full_shading=jnp.asarray(full),
             max_level=jnp.asarray(ml, jnp.int32),
             cos_anneal_ratio=jnp.asarray(min(1.0, step / half), jnp.float32),
             normal_epsilon=jnp.asarray(1e-1 * (1 - min(0.999, step / half)), jnp.float32),
             lambda_depth_ramp=jnp.asarray(min(1.0, step / 1000.0), jnp.float32),
+            lambda_entropy=jnp.asarray(lam_e, jnp.float32),
         )
 
     def _dynamics_traced(self, step: jax.Array) -> StepDynamics:
@@ -360,6 +373,14 @@ class Trainer:
             ml = 4 + (12.0 * ramp).astype(jnp.int32)
         else:
             ml = jnp.int32(16)
+        if cfg.sharpen_steps > 0:
+            lam_e = jnp.where(
+                step >= cfg.iters,
+                jnp.where(step >= cfg.iters + cfg.sharpen_steps // 2,
+                          cfg.sharpen_entropy, 0.1 * cfg.sharpen_entropy),
+                cfg.lambda_entropy).astype(jnp.float32)
+        else:
+            lam_e = jnp.float32(cfg.lambda_entropy)
         return StepDynamics(
             full_shading=jnp.logical_and(step >= cfg.diffuse_step,
                                          not cfg.diffuse_only),
@@ -367,6 +388,7 @@ class Trainer:
             cos_anneal_ratio=ramp,
             normal_epsilon=1e-1 * (1.0 - jnp.minimum(0.999, s / half)),
             lambda_depth_ramp=jnp.minimum(1.0, s / 1000.0),
+            lambda_entropy=lam_e,
         )
 
     def _loss_and_metrics(self, params, render, key, images_u8, poses,
@@ -504,7 +526,7 @@ class Trainer:
         kept = out["ray_kept"].astype(jnp.float32)
         loss = jnp.sum(loss_per_ray * kept) / jnp.maximum(jnp.sum(kept), 1)
 
-        if cfg.lambda_entropy > 0:
+        if cfg.lambda_entropy > 0 or cfg.sharpen_steps > 0:
             w = jnp.clip(out["weights"], 1e-5, 1 - 1e-5)
             ent = -(w * jnp.log2(w) + (1 - w) * jnp.log2(1 - w))
             # padded samples contribute the w->0 limit (~0); mask for exactness
@@ -512,7 +534,7 @@ class Trainer:
             n_valid = jnp.maximum(jnp.sum(out["valid"]), 1)
             w2 = jnp.clip(out["weights_sum"], 1e-5, 1 - 1e-5)
             ent2 = -(w2 * jnp.log2(w2) + (1 - w2) * jnp.log2(1 - w2))
-            loss = loss + cfg.lambda_entropy * (
+            loss = loss + dyn.lambda_entropy * (
                 jnp.sum(ent) / n_valid + jnp.mean(ent2)
             )
 

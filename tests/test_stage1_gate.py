@@ -44,19 +44,24 @@ def test_stage1_matches_stage0_on_converged_scene(tmp_path):
 
     ws = str(tmp_path / "ws")
     cfg0 = dataclasses.replace(
-        Config(path=root, workspace=ws), iters=700, **base).finalize()
+        Config(path=root, workspace=ws), iters=700, sharpen_steps=300,
+        **base).finalize()
     tr0 = Trainer(cfg0)
     ds = load_nerf_dataset(cfg0, "train")
     val = load_nerf_dataset(cfg0, "val")
     tr0.metrics = [PSNRMeter()]
     tr0.train(ds, None)
     s0 = tr0.evaluate(val, name="gate_s0")["PSNR"]
+    # production recipe: mesh-prep sharpen phase after the quality eval
+    # (main.py runs this when sharpen_steps > 0 / under -O)
+    tr0.train(ds, None, max_steps=cfg0.iters + cfg0.sharpen_steps)
     tr0.save_checkpoint()
     tr0.save_mesh(resolution=128, dataset=ds)
 
     cfg1 = dataclasses.replace(
         Config(path=root, workspace=ws), iters=400, stage=1,
-        s1_vert_boost=2.0, **base).finalize()
+        s1_vert_boost=2.0, s1_shell=4, s1_shell_h=0.08,
+        s1_stochastic=True, **base).finalize()
     tr1 = Trainer(cfg1)
     tr1.setup_stage1(ds)
     assert tr1.load_checkpoint(stage=0)

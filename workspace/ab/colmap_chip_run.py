@@ -35,7 +35,8 @@ t0 = time.time()
 if not os.path.exists(os.path.join(ws, "mesh_stage0", "mesh_0.ply")):
     main([root, "--workspace", ws, "--data_format", "colmap",
           "--bound", "4", "--scale", "1", "--dt_gamma", "0.0078",
-          "--iters", "1500", "--num_rays", "4096", "--num_points", "262144",
+          "--iters", "1500", "--sharpen_steps", "1200",
+          "--num_rays", "4096", "--num_points", "262144",
           "--grid_size", "128", "--diffuse_step", "400",
           "--random_image_batch", "--mark_untrained", "--adaptive_num_rays",
           "--mesh_visibility_culling",
@@ -50,6 +51,7 @@ if not os.path.exists(os.path.join(ws, "mesh_stage0", "mesh_0.ply")):
 main([root, "--workspace", ws, "--data_format", "colmap",
       "--stage", "1", "--bound", "4", "--scale", "1", "--dt_gamma", "0.0078",
       "--iters", "800", "--refine",
+      "--s1_shell", "4", "--s1_shell_h", "0.02", "--s1_stochastic",
       "--texture_size", "1024", 
       "--n_eval", "2", "--n_ckpt", "2", "--test_no_video"])
 print("COLMAP ALL DONE %.0fs" % (time.time() - t0), flush=True)

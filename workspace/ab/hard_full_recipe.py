@@ -32,7 +32,8 @@ t0 = time.time()
 if not os.path.exists(os.path.join(ws, "mesh_stage0", "mesh_0.ply")):
     main([root, "--workspace", ws,
           "--bound", "1", "--scale", "0.8", "--dt_gamma", "0",
-          "--iters", str(ITERS0), "--num_rays", "4096",
+          "--iters", str(ITERS0), "--sharpen_steps", "1200",
+          "--num_rays", "4096",
           "--num_points", "262144",
           "--grid_size", "128", "--diffuse_step", "1000",
           "--random_image_batch", "--mark_untrained", "--adaptive_num_rays",
@@ -50,6 +51,7 @@ if not os.path.exists(os.path.join(ws, "mesh_stage0", "mesh_0.ply")):
 main([root, "--workspace", ws,
       "--stage", "1", "--bound", "1", "--scale", "0.8", "--dt_gamma", "0",
       "--iters", "2500", "--refine",
+      "--s1_shell", "4", "--s1_shell_h", "0.02", "--s1_stochastic",
       "--texture_size", "2048",
       "--n_eval", "4", "--n_ckpt", "2", "--test_no_video"])
 print("HARD ALL DONE %.0fs" % (time.time() - t0), flush=True)

@@ -29,7 +29,9 @@ import numpy as np
 
 ROOT = "/root/repo/workspace/runs/scene96aa"
 SHARP_WS = "/root/repo/workspace/runs/ws96v11_sharp"
-WS = "/root/repo/workspace/runs/ws96v11"
+SUF = os.environ.get("CAP11_SUFFIX", "")
+WS = "/root/repo/workspace/runs/ws96v11" + SUF
+BASE_WS = "/root/repo/workspace/runs/ws96v11"
 SNAP = "/root/repo/workspace/validation/round5"
 os.makedirs(SNAP, exist_ok=True)
 
@@ -46,6 +48,18 @@ from nerf2mesh_tpu.utils.trainer import Trainer
 t0 = time.time()
 
 # ---- phase A: fresh workspace + mesh export from the SHARP field ----------
+if SUF and not os.path.exists(os.path.join(WS, "mesh_stage0",
+                                           "mesh_0.ply")):
+    # controlled A/B arm: SAME sharp checkpoint + SAME exported mesh as the
+    # base v11 run — only the stage-1 shading config differs
+    shutil.rmtree(WS, ignore_errors=True)
+    os.makedirs(os.path.join(WS, "checkpoints"))
+    os.makedirs(os.path.join(WS, "mesh_stage0"))
+    shutil.copy(os.path.join(BASE_WS, "checkpoints",
+                             "ngp_stage0_latest.ckpt"),
+                os.path.join(WS, "checkpoints", "ngp_stage0_latest.ckpt"))
+    shutil.copy(os.path.join(BASE_WS, "mesh_stage0", "mesh_0.ply"),
+                os.path.join(WS, "mesh_stage0", "mesh_0.ply"))
 if not os.path.exists(os.path.join(WS, "mesh_stage0", "mesh_0.ply")):
     shutil.rmtree(WS, ignore_errors=True)
     os.makedirs(os.path.join(WS, "checkpoints"))
@@ -104,7 +118,7 @@ res_test = tr.evaluate(test_ds, name="test", write_images=True)
 res_tr4 = tr.evaluate(train4, name="train4_final", track_best=False)
 tr.export_stage1(resolution=cfg.texture_size)
 
-out = {"arm": f"v11 shellK{SHELL_K} h{SHELL_H} stoch{int(STOCH)}",
+out = {"arm": f"v11{SUF} shellK{SHELL_K} h{SHELL_H} stoch{int(STOCH)}",
        "val": res_val, "test": res_test, "train4": res_tr4,
        "secs": round(time.time() - t0, 1)}
 print("V11 RESULT " + json.dumps({k: (v if not isinstance(v, dict)
@@ -113,8 +127,8 @@ print("V11 RESULT " + json.dumps({k: (v if not isinstance(v, dict)
 for name in ("log_ngp.txt", "metrics.jsonl"):
     p = os.path.join(WS, name)
     if os.path.exists(p):
-        shutil.copy(p, os.path.join(SNAP, f"cap96v11_stage1_{name}"))
-with open(os.path.join(SNAP, "cap96v11_result.json"), "w") as f:
+        shutil.copy(p, os.path.join(SNAP, f"cap96v11{SUF}_stage1_{name}"))
+with open(os.path.join(SNAP, f"cap96v11{SUF}_result.json"), "w") as f:
     json.dump({k: (v if not isinstance(v, dict)
                    else {m: float(x) for m, x in v.items()})
                for k, v in out.items()}, f, indent=1)

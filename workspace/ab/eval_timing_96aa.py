@@ -11,7 +11,7 @@ from nerf2mesh_tpu.utils.trainer import Trainer
 
 cfg = dataclasses.replace(
     Config(path="/root/repo/workspace/runs/scene96aa"), bound=1.0, scale=0.8, dt_gamma=0.0,
-    grid_size=128, workspace="/root/repo/workspace/runs/ws96aa").finalize()
+    grid_size=128, workspace="/root/repo/workspace/runs/ws96v11").finalize()
 ds = load_nerf_dataset(cfg, "val")
 tr = Trainer(cfg)
 assert tr.load_checkpoint(stage=0)

@@ -257,6 +257,12 @@ class Config:
                 # recommended two-stage recipe includes the mesh-prep
                 # sharpen phase (0 = auto; pass -1 to force off)
                 cfg.sharpen_steps = 1200
+            if cfg.stage == 1 and not cfg.sdf and cfg.s1_shell <= 1:
+                # recommended stage-1 shading: thin-shell composite with
+                # stochastic train layers (round-5 capstone: +4.9 dB over
+                # the single-sample path, and the held-out decline is gone)
+                cfg.s1_shell = 4
+                cfg.s1_stochastic = True
         if cfg.sharpen_steps < 0:
             cfg.sharpen_steps = 0
         if cfg.sdf:

@@ -66,9 +66,14 @@ def main():
     # changes the padded offsets shape, and a mismatch silently REINITS the
     # checkpoint's offsets (diagnosing the wrong geometry)
     refine = ["--refine"] if os.environ.get("CAP_REFINE", "0") == "1" else []
+    shell = []
+    if os.environ.get("CAP_SHELL"):
+        shell = ["--s1_shell", os.environ["CAP_SHELL"],
+                 "--s1_shell_h", os.environ.get("CAP_SHELL_H", "0.02")]
     cfg1 = parse_args([
         ROOT, "--workspace", WS, "--stage", "1", "--bound", "1",
         "--scale", "0.8", "--dt_gamma", "0", "--iters", "1500", *refine,
+        *shell,
         "--s1_alpha_eval",
         os.environ.get("CAP_ALPHA_EVAL", "area"),    # production default
         "--test_no_video"])

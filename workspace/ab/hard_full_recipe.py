@@ -50,7 +50,7 @@ if not os.path.exists(os.path.join(ws, "mesh_stage0", "mesh_0.ply")):
 # face budget + supersampled eval; lr_vert 1e-4 under the boosted schedule)
 main([root, "--workspace", ws,
       "--stage", "1", "--bound", "1", "--scale", "0.8", "--dt_gamma", "0",
-      "--iters", "2500", "--refine",
+      "--iters", "1500", "--refine",
       "--s1_shell", "4", "--s1_shell_h", "0.02", "--s1_stochastic",
       "--texture_size", "2048",
       "--n_eval", "4", "--n_ckpt", "2", "--test_no_video"])

@@ -29,6 +29,10 @@ CAP11_SUFFIX=point CAP11_SHELL_K=1 CAP11_STOCH=0 \
   step cap_v11_point workspace/runs/r5capv11p.log 25 7200 -- \
   python workspace/ab/r5_capstone_v11.py
 
+CAP_WS=/root/repo/workspace/runs/ws96v11 \
+  step cap_diag_v11 $OUT/cap_diag_v11.log 18 3600 -- \
+  python workspace/ab/cap_diag.py 3
+
 step sdf_chip $OUT/sdf_chip.log 25 10800 -- \
   python workspace/ab/sdf_chip_run.py
 

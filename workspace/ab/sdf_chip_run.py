@@ -40,7 +40,8 @@ t0 = time.time()
 if not os.path.exists(os.path.join(ws, "mesh_stage0", "mesh_0.ply")):
     main([root, "--workspace", ws, "--sdf", "--ckpt", "scratch",
           "--bound", "1", "--scale", str(SCALE), "--dt_gamma", "0",
-          "--iters", "3000", "--num_rays", "2048", "--num_points", "65536",
+          "--iters", "3000", "--num_rays", "1024", "--num_points", "65536",
+          "--max_steps", "512",
           "--grid_size", "128", "--diffuse_step", "400",
           "--random_image_batch", "--mark_untrained", "--adaptive_num_rays",
           "--mesh_visibility_culling",

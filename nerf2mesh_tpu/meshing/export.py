@@ -387,18 +387,31 @@ def export_stage0_mesh(trainer, out_dir: str, resolution: int = 512,
                 trainer.log(f"[INFO] exported mesh_1.ply: v={v_out.shape} f={t_out.shape}")
         else:
             for cas in range(1, cascades):
+                # grid_all may be a read-only jax-backed view; copy first
+                # (nan_to_num's 2nd positional arg is `copy`, not `nan`).
+                occ = np.nan_to_num(np.array(grid_all[cas], np.float32),
+                                    nan=0.0)
+                # The occupancy grid IS the source of truth for outer
+                # cascades; upsampling a binarized copy past its native
+                # resolution adds no information but multiplies the
+                # staircase face count ~4x per octave, which made the
+                # cascade-2 decimate pathologically slow (55-80 min/cascade
+                # at env_reso=256 from a 128^3 grid).  Cap the MC reso at
+                # the grid's native resolution and march the continuous
+                # field directly (smoother + ~4x fewer faces).
+                reso = min(target_reso, int(occ.shape[0]))
                 bound = min(2 ** cas, rspec.grid_bound)
-                half = bound / target_reso
-                occ = grid_all[cas]
-                # resize to env resolution (trilinear ~ repeat here)
-                from scipy.ndimage import zoom
-                occf = zoom(occ, target_reso / occ.shape[0], order=1)
-                occf = np.nan_to_num(occf, 0.0)
-                field = (occf > density_thresh).astype(np.float32)
-                v_out, t_out = marching_cubes(field, 0.5)
+                half = bound / reso
+                if reso != occ.shape[0]:
+                    from scipy.ndimage import zoom
+                    occf = np.nan_to_num(
+                        zoom(occ, reso / occ.shape[0], order=1), nan=0.0)
+                else:
+                    occf = occ
+                v_out, t_out = marching_cubes(occf, density_thresh)
                 if len(t_out) == 0:
                     continue
-                v_out = v_out / (target_reso - 1.0) * 2 - 1
+                v_out = v_out / (reso - 1.0) * 2 - 1
                 v_out, t_out = meshops.remove_selected_verts(
                     v_out, t_out, meshops.select_inside_box(0.45))
                 if len(v_out) == 0:

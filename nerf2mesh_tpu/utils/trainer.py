@@ -764,21 +764,34 @@ class Trainer:
         """Double-sphere SDF init (reference network.py:111-131); runs when
         --ckpt scratch in sdf mode (utils.py:592-594)."""
         opt = optax.adam(1e-3)
-        ost = opt.init(self.state.params)
-        params = self.state.params
+
+        # Scan-chunked dispatch: a Python step loop is `iters` sequential
+        # host->chip round-trips, which over the axon relay is pure latency
+        # (~20 min of silence for 2000 tiny steps); one scan over ALL iters
+        # is a minutes-long single dispatch that trips the worker watchdog.
+        # Middle ground (same pattern as the main train loop): scan `chunk`
+        # optimizer steps per dispatch.
+        chunk = min(100, iters)
 
         @jax.jit
-        def pstep(params, ost, key):
-            l, g = jax.value_and_grad(
-                lambda p: sdf_pretrain_loss(p, key, self.net_spec,
-                                            batch_size=batch_size))(params)
-            up, ost = opt.update(g, ost)
-            return optax.apply_updates(params, up), ost, l
+        def run_chunk(params, ost, key):
+            def body(carry, k):
+                p, o = carry
+                l, g = jax.value_and_grad(
+                    lambda q: sdf_pretrain_loss(q, k, self.net_spec,
+                                                batch_size=batch_size))(p)
+                up, o = opt.update(g, o)
+                return (optax.apply_updates(p, up), o), l
 
+            (params, ost), ls = jax.lax.scan(
+                body, (params, ost), jax.random.split(key, chunk))
+            return params, ost, ls[-1]
+
+        params, ost = self.state.params, opt.init(self.state.params)
         key = jax.random.PRNGKey(42)
-        for i in range(iters):
+        for _ in range(max(1, iters // chunk)):
             key, k = jax.random.split(key)
-            params, ost, l = pstep(params, ost, k)
+            params, ost, l = run_chunk(params, ost, k)
         self.log(f"[INFO] sdf pretrain done, loss={float(l):.6f}")
         self.state = self.state._replace(
             params=params, ema_params=jax.tree_util.tree_map(jnp.copy, params))
